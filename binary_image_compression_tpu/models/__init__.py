@@ -1,0 +1,3 @@
+from . import compress  # noqa: F401
+from . import bsvd  # noqa: F401
+from . import ref_parity  # noqa: F401

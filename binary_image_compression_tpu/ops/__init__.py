@@ -1,0 +1,5 @@
+from . import bitpack  # noqa: F401
+from . import predict  # noqa: F401
+from . import entropy  # noqa: F401
+from . import bitstream  # noqa: F401
+from . import search  # noqa: F401

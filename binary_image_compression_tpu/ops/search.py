@@ -1,0 +1,162 @@
+"""Windowed self-referential patch matching on the MXU.
+
+The reference's codec hot loop (compress8_test.cpp:152-198 and friends) scans
+candidate patches one at a time with get_submatrix + dist — O(tiles * R^2 *
+W^2 / 64) scalar XOR/popcount.  The TPU formulation: Hamming distance to a
+0/1 patch is an affine function of a cross-correlation,
+
+    d(y, x) = |P| + boxsum(I)(y, x) - 2 * (I \\star P)(y, x),
+
+so ALL candidate distances for ALL tiles are one grouped convolution
+(per-tile kernels) that rides the MXU.  Selection then reproduces the
+reference's serial scan semantics exactly — first-hit early exit at
+threshold T, strict-< argmin tie-break in scan order — as a masked reduction
+with a lexicographic (distance, scan-order) key.
+
+Window geometry (compress4..8, compress4_test.cpp:96-135):
+  grid 1 ("same rows, behind"): y in [max(i0-W,0), i0], x in [max(j0-R,0),
+      max(j0-W,0)], scanned y desc, x desc;
+  grid 2 ("rows above"):        y in [max(i0-R,0), i0-W], x in [max(j0-R,0),
+      min(j0+R, cols-W)], scanned y desc, x desc; grid 1 precedes grid 2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF_KEY = jnp.int32(2**30)
+
+
+def tile_origins(rows: int, cols: int, W: int):
+    """Raster-order (i0, j0) for the ceil-div tile grid (compress8:110-111)."""
+    ny, nx = -(-rows // W), -(-cols // W)
+    ii, jj = jnp.meshgrid(jnp.arange(ny), jnp.arange(nx), indexing="ij")
+    return (ii * W).ravel(), (jj * W).ravel(), ny, nx
+
+
+def window_distance_maps(img_dense, i0, j0, W: int, R: int):
+    """Distances from each tile to every candidate in its search window.
+
+    img_dense: 0/1 [H, Wd] (any float/int dtype; cast to bf16 for the MXU).
+    i0, j0: int32 [T] tile origins.  Returns (d, oy, ox) with
+    d: int32 [T, R+1, 2R+W+1] distances, candidate (yy, xx) at absolute
+    position (oy[t] + yy, ox[t] + xx); entries beyond the image are garbage
+    and must be masked by the caller (select_* does).
+    """
+    H, Wd = img_dense.shape
+    T = i0.shape[0]
+    wh = R + W            # rows of extracted context
+    ww = 2 * R + 2 * W    # cols of extracted context
+    # clamped slice origins (XLA dynamic_slice clamps identically)
+    oy = jnp.clip(i0 - R, 0, max(H - wh, 0))
+    ox = jnp.clip(j0 - R, 0, max(Wd - ww, 0))
+    imgp = jnp.pad(img_dense, ((0, max(0, wh - H)), (0, max(0, ww - Wd))))
+    x = imgp.astype(jnp.bfloat16)
+
+    def grab(oy_t, ox_t):
+        return lax.dynamic_slice(x, (oy_t, ox_t), (wh, ww))
+
+    ctx = jax.vmap(grab)(oy, ox)  # [T, wh, ww]
+
+    tiles = jax.vmap(
+        lambda a, b: lax.dynamic_slice(x, (a, b), (W, W)))(i0, j0)
+
+    # grouped conv: each tile correlates only with its own context
+    lhs = ctx[None]                        # [1, T, wh, ww]
+    rhs = tiles[:, None]                   # [T, 1, W, W]
+    corr = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=T,
+        preferred_element_type=jnp.float32)[0]          # [T, wh-W+1, ww-W+1]
+
+    ones = jnp.ones((1, 1, W, W), jnp.bfloat16)
+    box = lax.conv_general_dilated(
+        ctx[:, None], ones, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)[:, 0]       # same spatial shape
+
+    pw = tiles.astype(jnp.float32).sum(axis=(1, 2))     # |P| per tile
+    d = (pw[:, None, None] + box - 2.0 * corr).astype(jnp.int32)
+    return d, oy, ox
+
+
+def _scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int):
+    """int32 [T, h, w] scan-order key; _INF_KEY outside the causal window."""
+    T, h, w = dshape
+    yy = lax.broadcasted_iota(jnp.int32, (T, h, w), 1)
+    xx = lax.broadcasted_iota(jnp.int32, (T, h, w), 2)
+    y = oy[:, None, None] + yy
+    x = ox[:, None, None] + xx
+    i0b = i0[:, None, None]
+    j0b = j0[:, None, None]
+    maxy = rows - W
+    maxx = cols - W
+
+    mini2 = jnp.maximum(i0b - W, 0)
+    minj = jnp.maximum(j0b - R, 0)
+    maxj2 = jnp.maximum(j0b - W, 0)
+    mini = jnp.maximum(i0b - R, 0)
+    maxj = jnp.minimum(j0b + R, maxx)
+
+    inb = (y <= maxy) & (x <= maxx)
+    in1 = inb & (y >= mini2) & (y <= i0b) & (x >= minj) & (x <= maxj2)
+    in2 = inb & (y >= mini) & (y <= i0b - W) & (x >= minj) & (x <= maxj)
+
+    span = cols + 1
+    ord1 = (i0b - y) * span + (maxj2 - x)
+    off1 = (W + 2) * span  # every ord1 < off1
+    ord2 = off1 + (i0b - W - y) * span + (maxj - x)
+    key = jnp.minimum(jnp.where(in1, ord1, _INF_KEY),
+                      jnp.where(in2, ord2, _INF_KEY))
+    return key
+
+
+def select_best(d, key, T_thresh: int, M: int, invert: bool,
+                tile_weight=None):
+    """Reproduce the reference's serial scan outcome from (d, key) arrays.
+
+    Returns (bestd, besty_rel, bestx_rel_flat_idx, bestinv, found):
+      * first candidate in scan order with d' <= T short-circuits
+        (the perfect_match break, compress8_test.cpp:166-170);
+      * otherwise argmin of d' with earliest-scan-order tie-break (strict <);
+      * invert=True applies the compress8 complement trick d' = min(d, M-d)
+        with inv = (M-d) < d (the reference leaves inv uninitialized on the
+        else-path — compress8_test.cpp:157; DEVIATIONS.md item 3).
+    d, key: int32 [T, h, w].  bestidx is the flat h*w window index.
+    """
+    Tn, h, w = d.shape
+    valid = key < _INF_KEY
+    if invert:
+        dp = jnp.minimum(d, M - d)
+        inv = (M - d) < d
+    else:
+        dp = d
+        inv = jnp.zeros_like(d, dtype=bool)
+
+    dpf = dp.reshape(Tn, -1)
+    keyf = key.reshape(Tn, -1)
+    validf = valid.reshape(Tn, -1)
+    invf = inv.reshape(Tn, -1)
+
+    stop = validf & (dpf <= T_thresh)
+    any_stop = stop.any(axis=1)
+    stop_key = jnp.where(stop, keyf, _INF_KEY)
+    stop_idx = jnp.argmin(stop_key, axis=1)
+
+    # two-stage lexicographic (d', scan-key) argmin — avoids int overflow
+    big = jnp.int32(2**30)
+    dmin = jnp.min(jnp.where(validf, dpf, big), axis=1, keepdims=True)
+    at_min = validf & (dpf == dmin)
+    min_idx = jnp.argmin(jnp.where(at_min, keyf, _INF_KEY), axis=1)
+
+    bestidx = jnp.where(any_stop, stop_idx, min_idx)
+    take = lambda a: jnp.take_along_axis(a, bestidx[:, None], axis=1)[:, 0]
+    bestd = take(dpf)
+    bestinv = take(invf)
+    found = take(validf)
+    return bestd, bestidx, bestinv, found
