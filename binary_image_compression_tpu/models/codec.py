@@ -1,0 +1,518 @@
+"""Real, decodable bitstream codecs (the reference only ever *estimated*).
+
+Container format ``BIC1``:
+
+    magic   4B  "BIC1"
+    codec   u8  (2/3 = dictionary codecs, 4/6/7/8 = windowed tile codecs,
+                 10 = full-image MED + adaptive run-length)
+    flags   u8  bit0: strict mode (candidates reference the
+                residual-substituted working image, as compress4..8 do via
+                in-place set_submatrix); else causal-original mode
+                (candidates reference decoded original pixels — fully
+                parallelizable search, see models/compress.py)
+    W       u16 tile width (0 for codec 10)
+    rows    u32
+    cols    u32
+    T       u32 early-exit threshold
+    R       u32 search radius
+    payload     bit-packed tile records / run-length stream
+
+Tile record (codec 8; 7 = same without inv bit; 4/6 = no pred/inv bits):
+
+    match   1 bit
+    pred    1 bit
+    [match] inv 1 bit (codec 8), index ceil(log2(n_candidates)) bits
+    weight  adaptive Golomb-Rice, two contexts (match / nomatch) with the
+            reference's k-adaptation (GolombCoder.cpp:29-33)
+    residual enumerative rank, ceil(log2 C(M, weight)) bits (integer-bit
+            realization of the reference's enumL cost, compress8:247-251)
+
+Decodability requires two deviations from the reference estimator
+(DEVIATIONS.md 3, 6): inv applies only on the match path, and grid-1
+candidates exist only for j0 >= W (the reference's clamped maxj2=0 candidate
+overlaps not-yet-coded pixels).  Window geometry is otherwise the
+compress4..8 geometry, so compression performance tracks the reference's
+estimates (tests assert the real size is within ~1% + small constant of the
+reference's own codelength arithmetic on the same decisions).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+from ..ops.entropy import GolombCoder
+from ..ops.bitstream import (BitReader, BitWriter, enum_decode, enum_encode,
+                             enum_nbits, golomb_decode, golomb_encode)
+
+MAGIC = b"BIC1"
+
+
+# ---------------------------------------------------------------------------
+# shared geometry: candidate enumeration in scan order (decoder-reproducible)
+# ---------------------------------------------------------------------------
+
+def window_candidates(i0: int, j0: int, W: int, R: int,
+                      rows: int, cols: int) -> list[tuple[int, int]]:
+    """Scan-ordered causal candidates for tile (i0, j0).
+
+    compress7/8 geometry (compress8_test.cpp:137-143) restricted to
+    fully-coded pixels: grid 1 (same rows behind) requires j0 >= W; grid 2 is
+    the rows strictly above.  Rows are bounded so candidate patches stay
+    inside the padded tile grid the decoder maintains.
+    """
+    out = []
+    mini = max(i0 - R, 0)
+    minj = max(j0 - R, 0)
+    maxj = min(j0 + R, cols - W)
+    mini2 = max(i0 - W, 0)
+    if j0 >= W:
+        maxj2 = j0 - W
+        for y in range(i0, mini2 - 1, -1):
+            for x in range(maxj2, minj - 1, -1):
+                out.append((y, x))
+    yhi = i0 - W
+    if yhi >= mini:
+        for y in range(yhi, mini - 1, -1):
+            for x in range(maxj, minj - 1, -1):
+                out.append((y, x))
+    return out
+
+
+def _med(P):
+    r = np.zeros_like(P)
+    r[0, 1:] = P[0, 1:] ^ P[0, :-1]
+    r[1:, 0] = P[1:, 0] ^ P[:-1, 0]
+    r[1:, 1:] = P[1:, 1:] ^ P[:-1, 1:] ^ P[1:, :-1] ^ P[:-1, :-1]
+    r[0, 0] = P[0, 0]  # invertible origin (DEVIATIONS.md 1)
+    return r
+
+
+def _unmed(r):
+    x = np.bitwise_xor.accumulate(r, axis=1)
+    return np.bitwise_xor.accumulate(x, axis=0)
+
+
+@dataclass
+class CodecParams:
+    codec: int = 8
+    W: int = 16
+    T: int | None = None
+    R: int = 128
+    strict: bool = True
+
+    def resolved_T(self) -> int:
+        if self.T is not None:
+            return self.T
+        if self.codec == 8:  # compress8's auto threshold (compress8:72-74)
+            M = self.W * self.W
+            return int(math.ceil(math.log2((2 * self.R + 1) * self.R))
+                       // math.ceil(math.log2(M)))
+        if self.codec == 3:  # compress3's default (compress3_test.cpp:55)
+            return self.W * self.W // 8
+        return 0
+
+
+def _search(work, P, cands, M, T, invert):
+    """First-hit-at-threshold / strict-argmin scan (reference semantics with
+    defined inv).  Returns (rank, bestd, inv) or (None, None, False)."""
+    best = None
+    bestd = M + 1
+    bestinv = False
+    for rank, (y, x) in enumerate(cands):
+        P2 = work[y:y + P.shape[0], x:x + P.shape[1]]
+        d = int((P ^ P2).sum(dtype=np.int32))
+        inv = False
+        if invert and (M - d) < d:
+            inv = True
+            d = M - d
+        if d < bestd:
+            best, bestd, bestinv = rank, d, inv
+            if bestd <= T:
+                break
+    return best, bestd, bestinv
+
+
+def _search_fast(work, P, cands, M, T, invert, W):
+    """Vectorized equivalent of _search (same selection semantics)."""
+    if not cands:
+        return None, M + 1, False
+    ca = np.asarray(cands, dtype=np.int32)
+    sw = sliding_window_view(work, (W, W))
+    d = (sw[ca[:, 0], ca[:, 1]] ^ P[None]).sum(axis=(-1, -2), dtype=np.int32)
+    if invert:
+        inv = (M - d) < d
+        dp = np.minimum(d, M - d)
+    else:
+        inv = np.zeros(len(cands), dtype=bool)
+        dp = d
+    # serial semantics: the scan stops at the first index s where the running
+    # strict minimum drops to <= T; that index is itself the chosen candidate
+    # (an earlier equal value would have tripped the threshold earlier).
+    # Without a threshold hit, the first strict minimum wins.
+    runmin = np.minimum.accumulate(dp)
+    stop_idx = np.flatnonzero(runmin <= T)
+    r = int(stop_idx[0]) if stop_idx.size else int(np.argmin(dp))
+    return r, int(dp[r]), bool(inv[r])
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
+    params = params or CodecParams()
+    img = np.asarray(img, dtype=bool)
+    if params.codec == 10:
+        return _encode_medrle(img)
+    if params.codec in (2, 3):
+        return _encode_dict(img, params)
+    return _encode_windowed(img, params)
+
+
+def _header(params, rows, cols) -> bytes:
+    flags = 1 if params.strict else 0
+    return MAGIC + struct.pack("<BBHIIII", params.codec, flags, params.W,
+                               rows, cols, params.resolved_T(), params.R)
+
+
+def _encode_windowed(img, params) -> bytes:
+    W, R = params.W, params.R
+    T = params.resolved_T()
+    codec = params.codec
+    invert = codec == 8
+    use_pred = codec in (7, 8)
+    rows, cols = img.shape
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    work = np.zeros((ny * W, nx * W), dtype=np.uint8)
+    work[:rows, :cols] = img
+    orig = work.copy()
+    ref_img = work if params.strict else orig
+
+    w = BitWriter()
+    w.write_bits(int.from_bytes(_header(params, rows, cols), "big"),
+                 len(_header(params, rows, cols)) * 8)
+    gm, gn = GolombCoder(), GolombCoder()
+
+    for ti in range(ny):
+        for tj in range(nx):
+            i0, j0 = ti * W, tj * W
+            P = (work if params.strict else orig)[i0:i0 + W, j0:j0 + W].copy()
+            cands = window_candidates(i0, j0, W, R, rows, cols)
+            rank, bestd, inv = _search_fast(ref_img, P, cands, M, T, invert, W)
+            idx_len = max(1, (len(cands) - 1).bit_length()) if cands else 0
+
+            # candidate residuals/costs for the 4 modes
+            options = []
+            if rank is not None:
+                y, x = cands[rank]
+                P2 = ref_img[y:y + W, x:x + W]
+                Pm = (1 - P) if inv else P
+                P3 = Pm ^ P2
+                wm_np = int(P3.sum())
+                cost = 3 if invert else 2
+                options.append(("m", False, P3, wm_np,
+                                cost + idx_len + _gcost(gm, wm_np)
+                                + enum_nbits(M, wm_np)))
+                if use_pred:
+                    dP3 = _med(P3.astype(bool)).astype(np.uint8)
+                    wm_p = int(dP3.sum())
+                    options.append(("m", True, dP3, wm_p,
+                                    cost + idx_len + _gcost(gm, wm_p)
+                                    + enum_nbits(M, wm_p)))
+            wn_np = int(P.sum())
+            ncost = 2 if use_pred else 1
+            options.append(("n", False, P, wn_np,
+                            ncost + _gcost(gn, wn_np) + enum_nbits(M, wn_np)))
+            if use_pred:
+                dP = _med(P.astype(bool)).astype(np.uint8)
+                wn_p = int(dP.sum())
+                options.append(("n", True, dP, wn_p,
+                                ncost + _gcost(gn, wn_p) + enum_nbits(M, wn_p)))
+            kind, pred, res, wt, _ = min(options, key=lambda o: o[4])
+
+            if kind == "m":
+                w.write_bits(1, 1)
+                if use_pred:
+                    w.write_bits(int(pred), 1)
+                if invert:
+                    w.write_bits(int(inv), 1)
+                w.write_bits(rank, idx_len)
+                golomb_encode(w, wt, gm.k)
+                gm.code_sample(wt)
+            else:
+                w.write_bits(0, 1)
+                if use_pred:
+                    w.write_bits(int(pred), 1)
+                golomb_encode(w, wt, gn.k)
+                gn.code_sample(wt)
+            enum_encode(w, res.astype(bool))
+
+            if params.strict:
+                work[i0:i0 + W, j0:j0 + W] = res
+    return w.getvalue()
+
+
+def _gcost(g: GolombCoder, u: int) -> int:
+    return g.k + (u >> g.k) + 1
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode(blob: bytes) -> np.ndarray:
+    if blob[:4] != MAGIC:
+        raise ValueError("not a BIC1 stream")
+    codec, flags, W, rows, cols, T, R = struct.unpack("<BBHIIII", blob[4:24])
+    r = BitReader(blob, bit_offset=24 * 8)
+    if codec == 10:
+        return _decode_medrle(r, rows, cols)
+    if codec in (2, 3):
+        return _decode_dict(r, codec, W, rows, cols, T)
+    return _decode_windowed(r, codec, W, rows, cols, T, R,
+                            strict=bool(flags & 1))
+
+
+def _decode_windowed(r, codec, W, rows, cols, T, R, strict):
+    invert = codec == 8
+    use_pred = codec in (7, 8)
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    work = np.zeros((ny * W, nx * W), dtype=np.uint8)   # encoder's state
+    out = np.zeros((ny * W, nx * W), dtype=np.uint8)    # original pixels
+    ref_img = work if strict else out
+    gm, gn = GolombCoder(), GolombCoder()
+    for ti in range(ny):
+        for tj in range(nx):
+            i0, j0 = ti * W, tj * W
+            match = r.read_bits(1)
+            pred = r.read_bits(1) if use_pred else 0
+            if match:
+                inv = r.read_bits(1) if invert else 0
+                cands = window_candidates(i0, j0, W, R, rows, cols)
+                idx_len = max(1, (len(cands) - 1).bit_length()) if cands else 0
+                rank = r.read_bits(idx_len)
+                wt = golomb_decode(r, gm.k)
+                gm.code_sample(wt)
+            else:
+                inv = 0
+                wt = golomb_decode(r, gn.k)
+                gn.code_sample(wt)
+            res = enum_decode(r, M, wt).reshape(W, W).astype(np.uint8)
+            # reconstruct P
+            if match:
+                y, x = cands[rank]
+                P2 = ref_img[y:y + W, x:x + W]
+                P3 = _unmed(res.astype(bool)).astype(np.uint8) if pred else res
+                Pm = P3 ^ P2
+                P = (1 - Pm) if inv else Pm
+            else:
+                P = _unmed(res.astype(bool)).astype(np.uint8) if pred else res
+            out[i0:i0 + W, j0:j0 + W] = P
+            if strict:
+                work[i0:i0 + W, j0:j0 + W] = res
+    return out[:rows, :cols].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# dictionary codecs (compress2/3 capability, made decodable)
+# ---------------------------------------------------------------------------
+
+def _encode_dict(img, params) -> bytes:
+    """compress2/3-style: dictionary of previously-coded tile *origins*.
+
+    The reference stores tile loop indices and reads patches at those pixel
+    coords (compress2_test.cpp:108) — an evident bug; the decodable codec
+    stores tile origins.  Dict evolution is recomputed by the decoder, so
+    only (match?, index, weight, residual) is coded.
+    """
+    W = params.W
+    T = params.resolved_T()
+    add_rule_threshold = params.codec == 3
+    img = np.asarray(img, dtype=bool)
+    rows, cols = img.shape
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    grid = np.zeros((ny * W, nx * W), dtype=np.uint8)
+    grid[:rows, :cols] = img
+    w = BitWriter()
+    hdr = _header(params, rows, cols)
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    gm, gn = GolombCoder(), GolombCoder()
+    dictionary: list[tuple[int, int]] = []
+    for ti in range(ny):
+        for tj in range(nx):
+            i0, j0 = ti * W, tj * W
+            P = grid[i0:i0 + W, j0:j0 + W]
+            bestk, bestd = 0, M + 1
+            for k, (ci, cj) in enumerate(dictionary):
+                d = int((grid[ci:ci + W, cj:cj + W] ^ P).sum(dtype=np.int32))
+                if d < bestd:
+                    bestd, bestk = d, k
+                if bestd == 0:
+                    break
+            wP = int(P.sum())
+            idx_len = max(1, (len(dictionary) - 1).bit_length()) \
+                if dictionary else 0
+            use_match = False
+            if dictionary:
+                mcost = 1 + idx_len + _gcost(gm, bestd) + enum_nbits(M, bestd)
+                ncost = 1 + _gcost(gn, wP) + enum_nbits(M, wP)
+                use_match = mcost < ncost
+            if use_match:
+                w.write_bits(1, 1)
+                w.write_bits(bestk, idx_len)
+                golomb_encode(w, bestd, gm.k)
+                gm.code_sample(bestd)
+                ci, cj = dictionary[bestk]
+                enum_encode(w, (P ^ grid[ci:ci + W, cj:cj + W]).astype(bool))
+            else:
+                w.write_bits(0, 1)
+                golomb_encode(w, wP, gn.k)
+                gn.code_sample(wP)
+                enum_encode(w, P.astype(bool))
+            # dictionary update rule (decoder replays it identically)
+            if add_rule_threshold:
+                if bestd > T:
+                    dictionary.append((i0, j0))
+            else:
+                if not use_match:
+                    dictionary.append((i0, j0))
+    return w.getvalue()
+
+
+def _decode_dict(r, codec, W, rows, cols, T):
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    grid = np.zeros((ny * W, nx * W), dtype=np.uint8)
+    gm, gn = GolombCoder(), GolombCoder()
+    dictionary: list[tuple[int, int]] = []
+    add_rule_threshold = codec == 3
+    for ti in range(ny):
+        for tj in range(nx):
+            i0, j0 = ti * W, tj * W
+            match = r.read_bits(1)
+            idx_len = max(1, (len(dictionary) - 1).bit_length()) \
+                if dictionary else 0
+            if match:
+                k = r.read_bits(idx_len)
+                wt = golomb_decode(r, gm.k)
+                gm.code_sample(wt)
+                res = enum_decode(r, M, wt).reshape(W, W).astype(np.uint8)
+                ci, cj = dictionary[k]
+                P = res ^ grid[ci:ci + W, cj:cj + W]
+            else:
+                wt = golomb_decode(r, gn.k)
+                gn.code_sample(wt)
+                P = enum_decode(r, M, wt).reshape(W, W).astype(np.uint8)
+            grid[i0:i0 + W, j0:j0 + W] = P
+            # replay dictionary evolution: need bestd for the threshold rule
+            if add_rule_threshold:
+                bestd = M + 1
+                for (ci, cj) in dictionary:
+                    d = int((grid[ci:ci + W, cj:cj + W]
+                             ^ P).sum(dtype=np.int32))
+                    if d < bestd:
+                        bestd = d
+                    if bestd == 0:
+                        break
+                if bestd > T:
+                    dictionary.append((i0, j0))
+            else:
+                if not match:
+                    dictionary.append((i0, j0))
+    return grid[:rows, :cols].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# codec 10: full-image MED + adaptive run-length (bitplane workhorse)
+# ---------------------------------------------------------------------------
+
+def _encode_medrle(img: np.ndarray) -> bytes:
+    rows, cols = img.shape
+    params = CodecParams(codec=10, W=0, T=0, R=0)
+    w = BitWriter()
+    hdr = _header(params, rows, cols)
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    res = _med(np.asarray(img, dtype=np.uint8))
+    flat = res.ravel()
+    ones = np.flatnonzero(flat)
+    gaps = np.diff(np.concatenate([[-1], ones])) - 1
+    trailing = flat.size - (int(ones[-1]) + 1) if ones.size else flat.size
+    eg = _EGStream(w)
+    for g in gaps:
+        eg.encode_run(int(g))
+    if trailing > 0:  # decoder stops on pixel count; zero tail needs no run
+        eg.encode_run(int(trailing))
+    return w.getvalue()
+
+
+def _decode_medrle(r: BitReader, rows: int, cols: int) -> np.ndarray:
+    n = rows * cols
+    flat = np.zeros(n, dtype=np.uint8)
+    eg = _EGStream(None, reader=r)
+    pos = 0
+    while pos < n:
+        run = eg.decode_run(n - pos)
+        pos += run
+        if pos < n:
+            flat[pos] = 1
+            pos += 1
+    return _unmed(flat.reshape(rows, cols).astype(bool))
+
+
+class _EGStream:
+    """Adaptive exp-Golomb run codec (the reference's intended MELCODE with
+    incBlockSize enabled and the LUT clamped — eg.cpp:4-10, DEVIATIONS.md 2).
+
+    A run of z zeros is coded as one '1' per full current block (growing the
+    block) then '0' + g-bit remainder (shrinking).  The final run is coded
+    the same way; the decoder stops on total pixel count, so no EOL flag is
+    needed."""
+
+    from ..ops.entropy import EGLUT as _LUT
+
+    def __init__(self, writer, reader=None):
+        self.w = writer
+        self.r = reader
+        self.lut_index = 0
+        self.g = 1        # eg.h ctor state
+        self.block = 1
+
+    def _inc(self):
+        if self.lut_index < 31:
+            self.lut_index += 1
+        self.g = self._LUT[self.lut_index]
+        self.block = 1 << self.g
+
+    def _dec(self):
+        if self.lut_index > 0:
+            self.lut_index -= 1
+        self.g = self._LUT[self.lut_index]
+        self.block = 1 << self.g
+
+    def encode_run(self, length: int):
+        while length >= self.block:
+            length -= self.block
+            self.w.write_bits(1, 1)
+            self._inc()
+        self.w.write_bits(0, 1)
+        self.w.write_bits(length, self.g)
+        self._dec()
+
+    def decode_run(self, maxlen: int) -> int:
+        length = 0
+        while self.r.read_bits(1):
+            length += self.block
+            self._inc()
+            if length > maxlen:
+                return maxlen
+        length += self.r.read_bits(self.g)
+        self._dec()
+        return length

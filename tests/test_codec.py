@@ -1,0 +1,71 @@
+"""Real bitstream codecs: bit-exact round-trip (the BASELINE.json acceptance
+metric) and size tracking of the reference's own codelength estimates."""
+
+import os
+
+import numpy as np
+import pytest
+
+from binary_image_compression_tpu.models import codec, ref_parity as rp
+from binary_image_compression_tpu.utils import pnm
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def load(name):
+    return pnm.read_pbm(os.path.join(FIX, name))
+
+
+@pytest.mark.parametrize("image", ["text64.pbm", "noise96x80.pbm",
+                                   "ragged75x101.pbm"])
+@pytest.mark.parametrize("cid", [2, 3, 4, 6, 7, 8, 10])
+def test_roundtrip_bit_exact(image, cid):
+    img = load(image)
+    p = codec.CodecParams(codec=cid, W=8, R=32)
+    blob = codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+@pytest.mark.parametrize("cid", [4, 7, 8])
+def test_roundtrip_causal_mode(cid):
+    img = load("text64.pbm")
+    p = codec.CodecParams(codec=cid, W=8, R=32, strict=False)
+    blob = codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_roundtrip_degenerate_images():
+    for img in (np.zeros((32, 32), bool), np.ones((32, 32), bool),
+                np.zeros((8, 8), bool)):
+        for cid in (8, 10):
+            blob = codec.encode(img, codec.CodecParams(codec=cid, W=8, R=16))
+            np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_search_fast_matches_serial(rng):
+    W, M, T = 8, 64, 2
+    work = (rng.rand(64, 64) < 0.3).astype(np.uint8)
+    for i0, j0 in [(16, 16), (8, 40), (56, 0), (0, 24)]:
+        P = work[i0:i0 + W, j0:j0 + W].copy()
+        cands = codec.window_candidates(i0, j0, W, 32, 64, 64)
+        for invert in (False, True):
+            a = codec._search(work, P, cands, M, T, invert)
+            b = codec._search_fast(work, P, cands, M, T, invert, W)
+            assert a == b
+
+
+def test_real_size_tracks_reference_estimate():
+    """The real bitstream lands within ~5% of the reference's own codelength
+    arithmetic (it can beat the estimate: mode decisions use true bit
+    costs)."""
+    img = load("text256.pbm")
+    est_bytes = rp.compress8(img, W=16, R=128)["final"]["comp_bytes"]
+    blob = codec.encode(img, codec.CodecParams(codec=8, W=16, R=128))
+    assert (codec.decode(blob) == img).all()
+    assert len(blob) < est_bytes * 1.06
+    assert len(blob) < img.size / 8 * 0.65  # genuinely compresses
+
+
+def test_header_rejects_garbage():
+    with pytest.raises(ValueError):
+        codec.decode(b"NOPE" + b"\x00" * 40)
