@@ -1,0 +1,106 @@
+"""Round benchmark: flagship codec-8 encode+decode, bit-exact, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+value  = megapixels/s for full encode+decode (device search/analysis + host
+         bitstream pack + host decode), bit-exactness verified.
+vs_baseline = speedup over the reference's compress8_test binary on the same
+         image — note the reference only runs the encoder-side *estimator*
+         (it emits no bitstream and cannot decode), so this baseline is
+         generous to the reference.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "doc512.pbm")
+
+
+def reference_seconds(image):
+    """Time the reference compress8_test on the same image (if buildable)."""
+    refbin = "/tmp/refbuild/compress8_test"
+    try:
+        if not os.path.exists(refbin):
+            subprocess.run(["bash", os.path.join(REPO, "scripts",
+                                                 "build_reference.sh")],
+                           capture_output=True, timeout=300, check=True)
+        t0 = time.time()
+        subprocess.run([refbin, image, "16"], capture_output=True,
+                       timeout=600, check=True)
+        return time.time() - t0
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+    from binary_image_compression_tpu.models import codec, compress
+    from binary_image_compression_tpu.utils import pnm
+
+    if not os.path.exists(FIXTURE):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "gen_fixtures.py")],
+                       check=True, capture_output=True)
+    img = pnm.read_pbm(FIXTURE)
+    rows, cols = img.shape
+    params = codec.CodecParams(codec=8, W=16, R=128, strict=False)
+
+    # warm up (jit compile)
+    blob = compress.encode(img, params)
+    back = codec.decode(blob)
+    assert (back == img).all(), "round-trip not bit-exact"
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        blob = compress.encode(img, params)
+    t_enc = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        back = codec.decode(blob)
+    t_dec = (time.time() - t0) / reps
+    assert (back == img).all()
+
+    # device-only analysis throughput (the TPU kernel story)
+    import jax.numpy as jnp
+    grid = jnp.asarray(img.astype(np.int8))
+    an = lambda: jax.block_until_ready(compress.encode_analyze(
+        grid, W=16, R=128, T_thresh=params.resolved_T(),
+        rows=rows, cols=cols))
+    an()
+    t0 = time.time()
+    for _ in range(5):
+        an()
+    t_dev = (time.time() - t0) / 5
+
+    mp = rows * cols / 1e6
+    total = t_enc + t_dec
+    ref_s = reference_seconds(FIXTURE)
+    out = {
+        "metric": "codec8 encode+decode throughput (bit-exact PBM round-trip,"
+                  " 512x512 doc page)",
+        "value": round(mp / total, 4),
+        "unit": "megapixels/s/chip",
+        "vs_baseline": round(ref_s / total, 3) if ref_s else None,
+        "encode_s": round(t_enc, 4),
+        "decode_s": round(t_dec, 4),
+        "device_analysis_s": round(t_dev, 4),
+        "device_analysis_mps": round(mp / t_dev, 2),
+        "compressed_bytes": len(blob),
+        "raw_bytes": rows * cols // 8,
+        "reference_estimator_s": round(ref_s, 3) if ref_s else None,
+        "backend": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,8 +85,15 @@ def window_distance_maps(img_dense, i0, j0, W: int, R: int):
     return d, oy, ox
 
 
-def _scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int):
-    """int32 [T, h, w] scan-order key; _INF_KEY outside the causal window."""
+def scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int,
+              decodable: bool = False):
+    """Scan-order keys for the two window grids.
+
+    Returns (key1, key2): int32 [T, h, w], _INF_KEY outside the grid.  A
+    candidate may be in both grids (the reference enumerates the y = i0-W
+    row twice); selection uses min(key1, key2) and bitstream ranks count
+    both entries (models/compress.py).  decodable=True restricts grid 1 to
+    j0 >= W (codec.window_candidates geometry, DEVIATIONS.md 6)."""
     T, h, w = dshape
     yy = lax.broadcasted_iota(jnp.int32, (T, h, w), 1)
     xx = lax.broadcasted_iota(jnp.int32, (T, h, w), 2)
@@ -105,15 +112,22 @@ def _scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int):
 
     inb = (y <= maxy) & (x <= maxx)
     in1 = inb & (y >= mini2) & (y <= i0b) & (x >= minj) & (x <= maxj2)
+    if decodable:
+        in1 = in1 & (j0b >= W)
     in2 = inb & (y >= mini) & (y <= i0b - W) & (x >= minj) & (x <= maxj)
 
     span = cols + 1
     ord1 = (i0b - y) * span + (maxj2 - x)
     off1 = (W + 2) * span  # every ord1 < off1
     ord2 = off1 + (i0b - W - y) * span + (maxj - x)
-    key = jnp.minimum(jnp.where(in1, ord1, _INF_KEY),
-                      jnp.where(in2, ord2, _INF_KEY))
-    return key
+    key1 = jnp.where(in1, ord1, _INF_KEY)
+    key2 = jnp.where(in2, ord2, _INF_KEY)
+    return key1, key2
+
+
+def _scan_keys(i0, j0, oy, ox, dshape, W, R, cols, rows):
+    k1, k2 = scan_keys(i0, j0, oy, ox, dshape, W, R, cols, rows)
+    return jnp.minimum(k1, k2)
 
 
 def select_best(d, key, T_thresh: int, M: int, invert: bool,

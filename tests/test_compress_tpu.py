@@ -1,0 +1,92 @@
+"""TPU encoder path: byte-identical streams vs the host reference encoder,
+and sharded-step correctness on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from binary_image_compression_tpu.models import codec, compress, bsvd
+from binary_image_compression_tpu.utils import pnm
+from binary_image_compression_tpu.ops import bitpack
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("image,W,R", [("text64.pbm", 8, 32),
+                                       ("text256.pbm", 16, 64),
+                                       ("ragged75x101.pbm", 8, 16)])
+def test_tpu_encoder_matches_host(image, W, R):
+    img = pnm.read_pbm(os.path.join(FIX, image))
+    p = codec.CodecParams(codec=8, W=W, R=R, strict=False)
+    host = codec.encode(img, p)
+    tpu = compress.encode(img, p)
+    assert host == tpu
+    np.testing.assert_array_equal(codec.decode(tpu), img)
+
+
+def test_bsvd_learn_reduces_residual():
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    X = bsvd.patchify_to_rows(img, 8)
+    E, D, A, iters = bsvd.learn(X, K=16, init="random_centroids",
+                                max_iters=15)
+    assert int(E.sum()) < int(X.sum())
+    # verification identity |E| == |X ^ A D| (bsvd_test.cpp:153-155)
+    np.testing.assert_array_equal(np.asarray(bsvd.residual(X, D, A)),
+                                  np.asarray(E))
+
+
+def test_bsvd_proximus_runs():
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    X = bsvd.patchify_to_rows(img, 8)
+    E, D, A, _ = bsvd.learn(X, K=8, dict_update="proximus", max_iters=10)
+    np.testing.assert_array_equal(np.asarray(bsvd.residual(X, D, A)),
+                                  np.asarray(E))
+
+
+def test_dryrun_multichip_8cpu():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_med_matches_single_device():
+    from binary_image_compression_tpu.parallel import mesh as pmesh, halo
+    from binary_image_compression_tpu.ops import predict
+    m = pmesh.make_mesh(len(jax.devices()))
+    n = m.shape["data"]
+    rows, cols = 8 * n, 96
+    img = np.random.RandomState(3).rand(rows, cols) < 0.4
+    packed = jnp.asarray(bitpack.np_pack(img))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharded = jax.device_put(packed, NamedSharding(m, P("data", None)))
+    r_sharded = halo.med_forward_sharded(m, sharded, cols)
+    r_single = predict.med_forward(packed, cols)
+    np.testing.assert_array_equal(np.asarray(r_sharded), np.asarray(r_single))
+    back = halo.med_inverse_sharded(m, r_sharded, cols)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(packed))
+
+
+def test_bitmerge_matches_bitwriter(rng):
+    from binary_image_compression_tpu.ops.bitstream import (BitWriter,
+                                                            pack_varlen,
+                                                            words_to_bytes)
+    from binary_image_compression_tpu.parallel.bitmerge import \
+        merge_bit_streams
+    # three shards of varlen codes merged == one serial BitWriter stream
+    shards = []
+    w_all = BitWriter()
+    for s in range(3):
+        lens = rng.randint(1, 33, size=40).astype(np.uint32)
+        vals = np.array([rng.randint(0, 1 << min(l, 31)) for l in lens],
+                        dtype=np.uint32)
+        total = int(lens.sum())
+        words, tb = pack_varlen(jnp.asarray(vals), jnp.asarray(lens),
+                                (total + 31) // 32)
+        shards.append((np.asarray(words), int(tb)))
+        for v, l in zip(vals, lens):
+            w_all.write_bits(int(v), int(l))
+    words, total = merge_bit_streams([w for w, _ in shards],
+                                     [b for _, b in shards])
+    assert words_to_bytes(words, total) == w_all.getvalue()
