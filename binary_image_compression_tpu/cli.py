@@ -1,0 +1,238 @@
+"""`bic` — unified CLI subsuming the reference's driver zoo.
+
+Replaces: compress_test..compress8_test (estimate), bsvd_test (bsvd),
+bitplane_tool / plane2pgm_tool (bitplanes / planes2pgm) — and adds what the
+reference never had: real compress/decompress with bit-exact round-trip.
+
+    python -m binary_image_compression_tpu compress  in.pbm out.bic [opts]
+    python -m binary_image_compression_tpu decompress in.bic out.pbm
+    python -m binary_image_compression_tpu estimate  in.pbm --driver 8 [opts]
+    python -m binary_image_compression_tpu bsvd      in.pbm [bsvd_test flags]
+    python -m binary_image_compression_tpu bitplanes in.pgm [--prefix plane_]
+    python -m binary_image_compression_tpu planes2pgm prefix out.pgm
+    python -m binary_image_compression_tpu info      in.bic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import sys
+
+import numpy as np
+
+
+def _add_codec_opts(p):
+    p.add_argument("--codec", type=int, default=8,
+                   help="2/3 dict, 4/6/7/8 windowed, 10 med+rle (default 8)")
+    p.add_argument("-W", type=int, default=16, help="tile width")
+    p.add_argument("-T", type=int, default=None, help="early-exit threshold")
+    p.add_argument("-R", type=int, default=128, help="search radius")
+    p.add_argument("--mode", choices=["strict", "causal"], default="causal",
+                   help="strict = reference residual-substitution; causal = "
+                        "original-pixel refs (parallel, usually smaller)")
+    p.add_argument("--backend", choices=["auto", "host", "tpu"],
+                   default="auto")
+
+
+def cmd_compress(args):
+    from .models import codec, compress
+    from .utils import pnm
+    params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
+                               R=args.R, strict=args.mode == "strict")
+    ext = os.path.splitext(args.input)[1].lower()
+    if ext in (".pgm", ".pnm"):
+        gray, maxval = pnm.read_pnm(args.input)
+        blob = codec.encode_pgm(gray, maxval, params)
+        raw = gray.size * (2 if maxval > 255 else 1)
+    else:
+        img = pnm.read_pbm(args.input)
+        use_tpu = args.backend == "tpu" or (
+            args.backend == "auto" and args.codec == 8
+            and args.mode == "causal")
+        blob = (compress.encode(img, params) if use_tpu
+                else codec.encode(img, params))
+        raw = img.size // 8
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"{args.input}: {raw}B raw -> {len(blob)}B "
+          f"({100.0 * len(blob) / raw:.2f}%)")
+
+
+def cmd_decompress(args):
+    from .models import codec
+    from .utils import pnm
+    blob = open(args.input, "rb").read()
+    if blob[:4] == codec.PGM_MAGIC:
+        gray, maxval = codec.decode_pgm(blob)
+        pnm.write_pgm(gray, maxval, args.output)
+    else:
+        img = codec.decode(blob)
+        pnm.write_pbm(img, args.output)
+    print(f"wrote {args.output}")
+
+
+def cmd_estimate(args):
+    """Reference-parity codelength estimate (the compressN_test outputs)."""
+    from .models import ref_parity as rp
+    from .utils import pnm
+    img = pnm.read_pbm(args.input)
+    fns = {1: rp.compress1, 2: rp.compress2, 3: rp.compress3,
+           4: rp.compress4, 5: rp.compress5, 6: rp.compress6,
+           7: rp.compress7, 8: rp.compress8}
+    kw = {}
+    if args.driver >= 3 and args.T is not None:
+        kw["T"] = args.T
+    if args.driver >= 4:
+        kw["R"] = args.R
+    if args.driver == 8 and args.T is not None:
+        kw["T"] = args.T
+    out = fns[args.driver](img, W=args.W, **kw)
+    final = {k: v for k, v in out["final"].items() if k != "map"}
+    print(json.dumps(final, indent=1, default=str))
+    if "map" in out["final"]:
+        print("MAP:")
+        for line in out["final"]["map"]:
+            print(line)
+
+
+def cmd_bsvd(args):
+    from .models import bsvd_ref, bsvd
+    from .utils import pnm, mosaic
+    from .ops import bitpack
+    img = pnm.read_pbm(args.input)
+    if args.backend == "tpu":
+        X = bsvd.patchify_to_rows(img, args.w) if args.I else \
+            np.asarray(img, dtype=np.int8)
+        init = {0: "neighbor", 2: "random_centroids"}.get(args.i, "neighbor")
+        du = "proximus" if args.d in (1, 3) else "steepest"
+        E, D, A, iters = bsvd.learn(X, K=args.k, init=init, dict_update=du,
+                                    seed=args.r)
+        D, A, E = (np.asarray(D, bool), np.asarray(A, bool),
+                   np.asarray(E, bool))
+        wE = int(E.sum())
+    else:
+        D, A, E, wE, res = bsvd_ref.run_bsvd_test(
+            img, W=args.w, K=args.k, image_mode=bool(args.I), mi=args.i,
+            cu=args.c, du=args.d, lm=args.l, seed=args.r)
+    out = args.out_dir
+    pnm.write_pbm(D, os.path.join(out, "dictionary.pbm"))
+    pnm.write_pbm(A, os.path.join(out, "coefficients.pbm"))
+    pnm.write_pbm(E, os.path.join(out, "residual.pbm"))
+    if args.m:
+        mos = mosaic.render_mosaic(bitpack.np_pack(D), D.shape[1])
+        pnm.write_pbm(mos, os.path.join(out, "atoms_mosaic.pbm"))
+    if args.M:
+        mos = mosaic.render_mosaic(bitpack.np_pack(E), E.shape[1])
+        pnm.write_pbm(mos, os.path.join(out, "residual_mosaic.pbm"))
+    print(f"|E| = {wE}  (K={D.shape[0]}, M={D.shape[1]}, N={A.shape[0]})")
+
+
+def cmd_bitplanes(args):
+    from .utils import pnm, bitplanes
+    gray, maxval = pnm.read_pnm(args.input)
+    planes = bitplanes.decompose(gray, maxval)
+    for i in range(planes.shape[0]):
+        pnm.write_pbm(planes[i], f"{args.prefix}{i:02d}.pbm")
+    print(f"wrote {planes.shape[0]} planes ({args.prefix}NN.pbm)")
+
+
+def cmd_planes2pgm(args):
+    from .utils import pnm, bitplanes
+    planes = []
+    i = 0
+    while os.path.exists(f"{args.prefix}{i:02d}.pbm"):
+        planes.append(pnm.read_pbm(f"{args.prefix}{i:02d}.pbm"))
+        i += 1
+    if not planes:
+        sys.exit(f"no {args.prefix}NN.pbm files found")
+    gray = bitplanes.recompose(np.stack(planes))
+    # reference writes maxval = final mask (plane2pgm_tool.cpp:53)
+    pnm.write_pgm(gray, (1 << len(planes)) - 1, args.output)
+    print(f"wrote {args.output} from {len(planes)} planes")
+
+
+def cmd_info(args):
+    from .models import codec
+    blob = open(args.input, "rb").read()
+    if blob[:4] == codec.PGM_MAGIC:
+        nplanes, gflag, maxval = struct.unpack("<BBH", blob[4:8])
+        print(json.dumps({"container": "BICG", "planes": nplanes,
+                          "gray_code": bool(gflag), "maxval": maxval,
+                          "bytes": len(blob)}))
+        return
+    if blob[:4] != codec.MAGIC:
+        sys.exit("not a BIC stream")
+    cid, flags, W, rows, cols, T, R = struct.unpack("<BBHIIII", blob[4:24])
+    print(json.dumps({"container": "BIC1", "codec": cid,
+                      "mode": "strict" if flags & 1 else "causal",
+                      "W": W, "rows": rows, "cols": cols, "T": T, "R": R,
+                      "bytes": len(blob),
+                      "raw_bytes": rows * cols // 8}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bic", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compress", help="PBM/PGM -> .bic")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_codec_opts(p)
+    p.set_defaults(fn=cmd_compress)
+
+    p = sub.add_parser("decompress", help=".bic -> PBM/PGM")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_decompress)
+
+    p = sub.add_parser("estimate",
+                       help="reference-parity codelength report")
+    p.add_argument("input")
+    p.add_argument("--driver", type=int, default=8, choices=range(1, 9))
+    p.add_argument("-W", type=int, default=16)
+    p.add_argument("-T", type=int, default=None)
+    p.add_argument("-R", type=int, default=128)
+    p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser("bsvd", help="binary dictionary learning "
+                                    "(bsvd_test flags)")
+    p.add_argument("input")
+    p.add_argument("-i", type=int, default=0, help="initializer 0-4")
+    p.add_argument("-c", type=int, default=0, help="coef update 0-1")
+    p.add_argument("-d", type=int, default=0, help="dict update 0-3")
+    p.add_argument("-l", type=int, default=0, help="learning loop 0-3")
+    p.add_argument("-L", type=int, default=0, help="inner loop (MDL)")
+    p.add_argument("-w", type=int, default=16, help="patch width")
+    p.add_argument("-k", type=int, default=512, help="dictionary size")
+    p.add_argument("-r", type=int, default=34503498, help="random seed")
+    p.add_argument("-I", type=int, default=0, help="image mode (patchify)")
+    p.add_argument("-m", type=int, default=1, help="write atoms mosaic")
+    p.add_argument("-M", type=int, default=1, help="write residual mosaic")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--backend", choices=["ref", "tpu"], default="ref")
+    p.set_defaults(fn=cmd_bsvd)
+
+    p = sub.add_parser("bitplanes", help="PGM -> plane_NN.pbm")
+    p.add_argument("input")
+    p.add_argument("--prefix", default="plane_")
+    p.set_defaults(fn=cmd_bitplanes)
+
+    p = sub.add_parser("planes2pgm", help="plane_NN.pbm -> PGM")
+    p.add_argument("prefix")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_planes2pgm)
+
+    p = sub.add_parser("info", help="inspect a .bic container")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""CLI end-to-end: compress/decompress round-trips, tool parity."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from binary_image_compression_tpu.utils import pnm
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd):
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    return subprocess.run([sys.executable, "-m",
+                           "binary_image_compression_tpu"] + args,
+                          cwd=cwd, env=env, capture_output=True, text=True,
+                          timeout=300)
+
+
+def test_cli_pbm_roundtrip(tmp_path):
+    src = os.path.join(FIX, "text64.pbm")
+    r = run_cli(["compress", src, "t.bic", "-W", "8", "-R", "32",
+                 "--backend", "host"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["decompress", "t.bic", "t.pbm"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert open(src, "rb").read() == open(tmp_path / "t.pbm", "rb").read()
+
+
+def test_cli_pgm_roundtrip(tmp_path):
+    src = os.path.join(FIX, "gray64.pgm")
+    r = run_cli(["compress", src, "g.bic", "-W", "16"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["decompress", "g.bic", "g.pgm"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    a, am = pnm.read_pnm(src)
+    b, bm = pnm.read_pnm(tmp_path / "g.pgm")
+    assert (a == b).all() and am == bm
+
+
+def test_cli_bitplane_tools(tmp_path):
+    src = os.path.join(FIX, "gray64.pgm")
+    r = run_cli(["bitplanes", src], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "plane_07.pbm").exists()
+    r = run_cli(["planes2pgm", "plane_", "rec.pgm"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    a, _ = pnm.read_pnm(src)
+    b, _ = pnm.read_pnm(tmp_path / "rec.pgm")
+    assert (a == b).all()
+
+
+def test_cli_bsvd_and_estimate(tmp_path):
+    src = os.path.join(FIX, "text64.pbm")
+    r = run_cli(["bsvd", src, "-w", "8", "-k", "8", "-I", "1"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "|E| =" in r.stdout
+    assert (tmp_path / "dictionary.pbm").exists()
+    r = run_cli(["estimate", src, "--driver", "8", "-W", "8", "-R", "32"],
+                tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "comp_bytes" in r.stdout
+
+
+def test_cli_info(tmp_path):
+    src = os.path.join(FIX, "text64.pbm")
+    run_cli(["compress", src, "t.bic", "-W", "8", "--backend", "host"],
+            tmp_path)
+    r = run_cli(["info", "t.bic"], tmp_path)
+    assert r.returncode == 0
+    assert '"BIC1"' in r.stdout
