@@ -266,10 +266,17 @@ def _gcost(g: GolombCoder, u: int) -> int:
 # decode
 # ---------------------------------------------------------------------------
 
-def decode(blob: bytes) -> np.ndarray:
+def decode(blob: bytes, *, use_native: bool = True) -> np.ndarray:
     if blob[:4] != MAGIC:
         raise ValueError("not a BIC1 stream")
     codec, flags, W, rows, cols, T, R = struct.unpack("<BBHIIII", blob[4:24])
+    if rows * cols > 2 ** 34:
+        raise ValueError(f"implausible dimensions {rows}x{cols}")
+    if codec in (4, 6, 7, 8) and use_native:
+        from .. import native
+        out = native.decode_windowed(blob, rows, cols)
+        if out is not None:
+            return out
     r = BitReader(blob, bit_offset=24 * 8)
     if codec == 10:
         return _decode_medrle(r, rows, cols)

@@ -169,11 +169,20 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
                          T_thresh=params.resolved_T(), rows=rows, cols=cols)
     out = {k: np.asarray(v) for k, v in out.items()}
     M = W * W
+    hdr = _header(params, rows, cols)
+    res_bits = bitpack.np_unpack(out["residual"], M)
+
+    # native (C++) encoder tail when available
+    from .. import native
+    inv_arr = np.where(out["mode"] < 2, out["inv"], False)
+    blob = native.pack_tiles(hdr, M, out["mode"], inv_arr, out["rank"],
+                             np.where(out["mode"] < 2, out["idx_len"], 0),
+                             out["weight"], res_bits.astype(np.uint8))
+    if blob is not None:
+        return blob
 
     wtr = BitWriter()
-    hdr = _header(params, rows, cols)
     wtr.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
-    res_bits = bitpack.np_unpack(out["residual"], M)
     for t in range(ny * nx):
         mode = int(out["mode"][t])
         wt = int(out["weight"][t])

@@ -1,0 +1,112 @@
+"""ctypes bridge to the C++ bitstream runtime (native/bic_native.cpp).
+
+Builds libbic_native.so on first use (g++, no external deps) and caches it
+next to the sources; every entry point has a pure-Python fallback, so the
+framework works without a toolchain — the native path is the production
+encoder tail / decoder (10-100x the Python loop).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "bic_native.cpp")
+_LIB = os.path.join(_REPO, "native", "libbic_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    lib.bic_pack_tiles.restype = ctypes.c_long
+    lib.bic_pack_tiles.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bic_decode_windowed.restype = ctypes.c_int
+    lib.bic_decode_windowed.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
+    lib.bic_enum_nbits.restype = ctypes.c_int
+    lib.bic_enum_nbits.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.bic_enum_roundtrip.restype = ctypes.c_long
+    lib.bic_enum_roundtrip.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return _lib
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_tiles(header: bytes, M: int, mode, inv, rank, idx_len, weight,
+               residual_bits) -> bytes | None:
+    """Native encoder tail; returns the full stream bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(mode)
+    mode = np.ascontiguousarray(mode, dtype=np.int32)
+    inv = np.ascontiguousarray(inv, dtype=np.uint8)
+    rank = np.ascontiguousarray(rank, dtype=np.int64)
+    idx_len = np.ascontiguousarray(idx_len, dtype=np.int32)
+    weight = np.ascontiguousarray(weight, dtype=np.uint32).astype(np.int32)
+    res = np.ascontiguousarray(residual_bits, dtype=np.uint8).reshape(n, M)
+    cap = len(header) + n * (M // 2 + 64) + 1024  # generous upper bound
+    out = np.zeros(cap, dtype=np.uint8)
+    ln = lib.bic_pack_tiles(header, len(header), n, M,
+                            _p(mode, ctypes.c_int32),
+                            _p(inv, ctypes.c_uint8),
+                            _p(rank, ctypes.c_int64),
+                            _p(idx_len, ctypes.c_int32),
+                            _p(weight, ctypes.c_int32),
+                            _p(res, ctypes.c_uint8),
+                            _p(out, ctypes.c_uint8), cap)
+    if ln < 0:
+        return None
+    return out[:ln].tobytes()
+
+
+def decode_windowed(blob: bytes, rows: int, cols: int) -> np.ndarray | None:
+    """Native decoder for codecs 4/6/7/8; returns bool image or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(rows * cols, dtype=np.uint8)
+    rc = lib.bic_decode_windowed(blob, len(blob), _p(out, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return out.reshape(rows, cols).astype(bool)

@@ -1,0 +1,418 @@
+// Native runtime for the BIC1 bitstream: tile-record packing (encoder tail)
+// and the full windowed-codec decoder.  The TPU does the search/analysis
+// (models/compress.py); this code is the serial bit-twiddling the reference
+// left unfinished (its decoders are dead code) — Golomb-Rice with the
+// reference's adaptive k (GolombCoder.cpp:29-33), exact enumerative
+// (combinatorial number system) ranks with on-the-fly bignum binomials, MED
+// inversion, and candidate-index geometry shared with
+// models/codec.window_candidates.
+//
+// Exposed via ctypes (binary_image_compression_tpu/native.py); all formats
+// byte-identical with the Python reference implementation (tests).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ------------------------------ bignum (little-endian u32 limbs) ----------
+
+struct Big {
+  std::vector<uint32_t> d;  // little-endian limbs; empty == 0
+  void trim() { while (!d.empty() && d.back() == 0) d.pop_back(); }
+  bool is_zero() const { return d.empty(); }
+  int bit_length() const {
+    if (d.empty()) return 0;
+    uint32_t top = d.back();
+    int b = 0;
+    while (top) { b++; top >>= 1; }
+    return (int(d.size()) - 1) * 32 + b;
+  }
+  void set_u32(uint32_t v) { d.clear(); if (v) d.push_back(v); }
+  void mul_small(uint32_t m) {
+    uint64_t carry = 0;
+    for (auto& x : d) {
+      uint64_t p = (uint64_t)x * m + carry;
+      x = (uint32_t)p;
+      carry = p >> 32;
+    }
+    if (carry) d.push_back((uint32_t)carry);
+  }
+  void div_small(uint32_t m) {  // exact or floor division
+    uint64_t rem = 0;
+    for (int i = int(d.size()) - 1; i >= 0; --i) {
+      uint64_t cur = (rem << 32) | d[i];
+      d[i] = (uint32_t)(cur / m);
+      rem = cur % m;
+    }
+    trim();
+  }
+  void add(const Big& o) {
+    if (o.d.size() > d.size()) d.resize(o.d.size(), 0);
+    uint64_t carry = 0;
+    for (size_t i = 0; i < d.size(); ++i) {
+      uint64_t s = (uint64_t)d[i] + (i < o.d.size() ? o.d[i] : 0) + carry;
+      d[i] = (uint32_t)s;
+      carry = s >> 32;
+    }
+    if (carry) d.push_back((uint32_t)carry);
+  }
+  // this -= o (requires this >= o)
+  void sub(const Big& o) {
+    int64_t borrow = 0;
+    for (size_t i = 0; i < d.size(); ++i) {
+      int64_t s = (int64_t)d[i] - (i < o.d.size() ? (int64_t)o.d[i] : 0)
+                  - borrow;
+      borrow = s < 0;
+      d[i] = (uint32_t)(s + (borrow ? 0x100000000LL : 0));
+    }
+    trim();
+  }
+  bool ge(const Big& o) const {  // this >= o
+    if (d.size() != o.d.size()) return d.size() > o.d.size();
+    for (int i = int(d.size()) - 1; i >= 0; --i)
+      if (d[i] != o.d[i]) return d[i] > o.d[i];
+    return true;
+  }
+};
+
+static Big binom(int n, int k) {  // C(n, k)
+  Big c;
+  c.set_u32(1);
+  if (k < 0 || k > n) { c.d.clear(); return c; }
+  if (k > n - k) k = n - k;
+  for (int i = 0; i < k; ++i) {
+    c.mul_small((uint32_t)(n - i));
+    c.div_small((uint32_t)(i + 1));
+  }
+  return c;
+}
+
+// ------------------------------ bit writer / reader -----------------------
+
+struct Writer {
+  uint8_t* buf;
+  long cap;
+  long bitpos = 0;
+  bool overflow = false;
+  Writer(uint8_t* b, long c) : buf(b), cap(c) {}
+  inline void put_bit(int v) {
+    long byte = bitpos >> 3;
+    if (byte >= cap) { overflow = true; return; }
+    if (v) buf[byte] |= (uint8_t)(0x80u >> (bitpos & 7));
+    bitpos++;
+  }
+  void put_bits(uint64_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) put_bit((v >> i) & 1);
+  }
+  void put_big(const Big& v, int nbits) {  // MSB-first, fixed width
+    for (int i = nbits - 1; i >= 0; --i) {
+      int limb = i >> 5, off = i & 31;
+      int bit = (limb < (int)v.d.size()) ? ((v.d[limb] >> off) & 1) : 0;
+      put_bit(bit);
+    }
+  }
+  void put_unary_zeros(long n) { for (long i = 0; i < n; ++i) put_bit(0); }
+};
+
+struct Reader {
+  const uint8_t* buf;
+  long nbits;
+  long bitpos = 0;
+  bool error = false;
+  Reader(const uint8_t* b, long nbytes) : buf(b), nbits(nbytes * 8) {}
+  inline int get_bit() {
+    if (bitpos >= nbits) { error = true; return 0; }
+    int v = (buf[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+    bitpos++;
+    return v;
+  }
+  uint64_t get_bits(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | get_bit();
+    return v;
+  }
+  Big get_big(int nbits_) {
+    Big v;
+    v.d.assign((nbits_ + 31) / 32, 0);
+    for (int i = nbits_ - 1; i >= 0; --i) {
+      int bit = get_bit();
+      if (bit) v.d[i >> 5] |= (1u << (i & 31));
+    }
+    v.trim();
+    return v;
+  }
+  long get_unary_zeros() {
+    long n = 0;
+    while (!error && get_bit() == 0) n++;
+    return n;
+  }
+};
+
+// -------------------- adaptive Golomb (GolombCoder.cpp semantics) ---------
+
+struct Golomb {
+  uint32_t acc = 0, samples = 0, k = 1;
+  void update(uint32_t u) {
+    samples += 1;
+    acc += u;
+    uint32_t kk = 0;
+    while (kk < 32 && (uint32_t)(samples << kk) < acc) kk++;
+    k = kk < 32 ? kk : 31;
+  }
+  void encode(Writer& w, uint32_t u) {
+    w.put_bits(u & ((k >= 32) ? 0xFFFFFFFFu : ((1u << k) - 1u)), (int)k);
+    w.put_unary_zeros(u >> k);
+    w.put_bit(1);
+    update(u);
+  }
+  uint32_t decode(Reader& r) {
+    uint32_t low = (uint32_t)r.get_bits((int)k);
+    uint32_t high = (uint32_t)r.get_unary_zeros();
+    uint32_t u = (high << k) | low;
+    update(u);
+    return u;
+  }
+};
+
+// -------------------- enumerative rank / unrank ---------------------------
+
+static int enum_nbits(int n, int w) {
+  if (w == 0 || w == n) return 0;
+  Big c = binom(n, w);
+  if (c.is_zero()) return 0;
+  // nbits = bit_length(c - 1)
+  Big one; one.set_u32(1);
+  c.sub(one);
+  return c.bit_length();
+}
+
+// rank of 0/1 vector bits[n] with weight w; single pass maintaining
+// c = C(n-1-q, rem-1)
+static Big enum_rank(const uint8_t* bits, int n, int w) {
+  Big rank;  // 0
+  if (w == 0) return rank;
+  int rem = w;
+  Big c = binom(n - 1, rem - 1);
+  for (int q = 0; q < n && rem > 0; ++q) {
+    int a = n - 1 - q;  // current c == C(a, rem-1)
+    if (bits[q]) {
+      // advance with rem-1: C(a-1, rem-2) = C(a, rem-1) * (rem-1) / a
+      rem -= 1;
+      if (rem == 0) break;
+      if (a > 0) { c.mul_small((uint32_t)(rem)); c.div_small((uint32_t)a); }
+      // note: after rem -= 1, new target is C(a-1, rem-1) = C(a,rem)*?:
+      // C(a-1, rem-1) = C(a, rem) ... we maintained c = C(a, rem) before
+      // decrement (since old rem-1 == new rem). transition:
+      // C(a-1, new_rem-1) = C(a, new_rem) * new_rem / a  -- done above
+    } else {
+      rank.add(c);
+      // C(a-1, rem-1) = C(a, rem-1) * (a - (rem-1)) / a
+      if (a > 0) {
+        c.mul_small((uint32_t)(a - (rem - 1)));
+        c.div_small((uint32_t)a);
+      }
+    }
+  }
+  return rank;
+}
+
+static void enum_unrank(Big rank, int n, int w, uint8_t* bits) {
+  std::memset(bits, 0, n);
+  if (w == 0) return;
+  int rem = w;
+  Big c = binom(n - 1, rem - 1);
+  for (int q = 0; q < n && rem > 0; ++q) {
+    int a = n - 1 - q;  // invariant: c == C(a, rem-1); c >= 1 while the
+                        // remaining ones fit (rem <= a+1), which holds for
+                        // every valid rank
+    if (!c.is_zero() && rank.ge(c)) {
+      rank.sub(c);  // bit 0
+      if (a > 0) {
+        c.mul_small((uint32_t)(a - (rem - 1)));
+        c.div_small((uint32_t)a);
+      }
+    } else {
+      bits[q] = 1;
+      rem -= 1;
+      if (rem == 0) break;
+      if (a > 0) { c.mul_small((uint32_t)rem); c.div_small((uint32_t)a); }
+    }
+  }
+}
+
+// -------------------- MED (invertible origin) ------------------------------
+
+static void unmed(uint8_t* t, int W) {  // in-place inverse: prefix-xor x then y
+  for (int i = 0; i < W; ++i)
+    for (int j = 1; j < W; ++j) t[i * W + j] ^= t[i * W + j - 1];
+  for (int j = 0; j < W; ++j)
+    for (int i = 1; i < W; ++i) t[i * W + j] ^= t[(i - 1) * W + j];
+}
+
+// -------------------- candidate geometry (window_candidates) --------------
+
+struct Geom {
+  long n1, c1, n2, c2;  // grid sizes (rows, cols)
+  int i0, j0, mini, minj, maxj, mini2, maxj2, yhi;
+};
+
+static Geom geom(int i0, int j0, int W, int R, int rows, int cols) {
+  Geom g{};
+  g.i0 = i0; g.j0 = j0;
+  g.mini = i0 - R > 0 ? i0 - R : 0;
+  g.minj = j0 - R > 0 ? j0 - R : 0;
+  g.maxj = (j0 + R) < (cols - W) ? (j0 + R) : (cols - W);
+  g.mini2 = i0 - W > 0 ? i0 - W : 0;
+  g.maxj2 = j0 - W;
+  g.yhi = i0 - W;
+  if (j0 >= W) {
+    g.n1 = g.i0 - g.mini2 + 1;
+    g.c1 = g.maxj2 - g.minj + 1;
+    if (g.c1 < 0) g.c1 = 0;
+  } else { g.n1 = 0; g.c1 = 0; }
+  if (g.yhi >= g.mini && g.maxj >= g.minj) {
+    g.n2 = g.yhi - g.mini + 1;
+    g.c2 = g.maxj - g.minj + 1;
+  } else { g.n2 = 0; g.c2 = 0; }
+  return g;
+}
+
+static long geom_count(const Geom& g) { return g.n1 * g.c1 + g.n2 * g.c2; }
+
+static void geom_at(const Geom& g, long rank, int* y, int* x) {
+  long s1 = g.n1 * g.c1;
+  if (rank < s1) {
+    *y = g.i0 - (int)(rank / g.c1);
+    *x = g.maxj2 - (int)(rank % g.c1);
+  } else {
+    rank -= s1;
+    *y = g.yhi - (int)(rank / g.c2);
+    *x = g.maxj - (int)(rank % g.c2);
+  }
+}
+
+static int idx_len_for(long n) {
+  if (n <= 0) return 0;
+  long v = n - 1;
+  int b = 0;
+  while (v) { b++; v >>= 1; }
+  return b < 1 ? 1 : b;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack encoder tile records after device analysis.  residuals: [T][M] 0/1
+// bytes.  Returns total byte length, or -1 on overflow.
+long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
+                    int M, const int32_t* mode, const uint8_t* inv,
+                    const int64_t* rank, const int32_t* idx_len,
+                    const int32_t* weight, const uint8_t* residuals,
+                    uint8_t* out, long out_cap) {
+  std::memset(out, 0, out_cap);
+  std::memcpy(out, header, header_len);
+  Writer w(out, out_cap);
+  w.bitpos = header_len * 8;
+  Golomb gm, gn;
+  for (long t = 0; t < n_tiles; ++t) {
+    int m = mode[t];
+    uint32_t wt = (uint32_t)weight[t];
+    if (m < 2) {
+      w.put_bit(1);
+      w.put_bit(m & 1);
+      w.put_bit(inv[t] ? 1 : 0);
+      w.put_bits((uint64_t)rank[t], idx_len[t]);
+      gm.encode(w, wt);
+    } else {
+      w.put_bit(0);
+      w.put_bit(m & 1);
+      gn.encode(w, wt);
+    }
+    int nb = enum_nbits(M, (int)wt);
+    Big r = enum_rank(residuals + t * M, M, (int)wt);
+    w.put_big(r, nb);
+    if (w.overflow) return -1;
+  }
+  return (w.bitpos + 7) / 8;
+}
+
+// Full decoder for windowed codecs (4/6/7/8), both modes.  out_img must be
+// rows*cols bytes.  Returns 0 on success.
+int bic_decode_windowed(const uint8_t* blob, long blob_len,
+                        uint8_t* out_img) {
+  if (blob_len < 24) return -1;
+  int codec = blob[4];
+  int flags = blob[5];
+  int W;  std::memcpy(&W, blob + 6, 2); W &= 0xFFFF;
+  uint32_t rows, cols, T, R;
+  std::memcpy(&rows, blob + 8, 4);
+  std::memcpy(&cols, blob + 12, 4);
+  std::memcpy(&T, blob + 16, 4);
+  std::memcpy(&R, blob + 20, 4);
+  bool strict = flags & 1;
+  bool invert = codec == 8;
+  bool use_pred = codec == 7 || codec == 8;
+  int ny = (rows + W - 1) / W, nx = (cols + W - 1) / W;
+  int M = W * W;
+  long gw = (long)nx * W, gh = (long)ny * W;
+  std::vector<uint8_t> work(gh * gw, 0), outg(gh * gw, 0);
+  uint8_t* ref = strict ? work.data() : outg.data();
+  Reader r(blob, blob_len);
+  r.bitpos = 24 * 8;
+  Golomb gm, gn;
+  std::vector<uint8_t> res(M), P(M);
+  for (int ti = 0; ti < ny; ++ti) {
+    for (int tj = 0; tj < nx; ++tj) {
+      int i0 = ti * W, j0 = tj * W;
+      int match = r.get_bit();
+      int pred = use_pred ? r.get_bit() : 0;
+      int inv = 0;
+      long rank = 0;
+      Geom g = geom(i0, j0, W, (int)R, (int)rows, (int)cols);
+      if (match) {
+        if (invert) inv = r.get_bit();
+        int il = idx_len_for(geom_count(g));
+        rank = (long)r.get_bits(il);
+      }
+      uint32_t wt = match ? gm.decode(r) : gn.decode(r);
+      int nb = enum_nbits(M, (int)wt);
+      Big rk = r.get_big(nb);
+      enum_unrank(rk, M, (int)wt, res.data());
+      if (r.error) return -2;
+      // reconstruct P
+      std::memcpy(P.data(), res.data(), M);
+      if (pred) unmed(P.data(), W);
+      if (match) {
+        int y, x;
+        geom_at(g, rank, &y, &x);
+        for (int a = 0; a < W; ++a)
+          for (int b = 0; b < W; ++b)
+            P[a * W + b] ^= ref[(long)(y + a) * gw + (x + b)];
+        if (inv)
+          for (int i = 0; i < M; ++i) P[i] ^= 1;
+      }
+      for (int a = 0; a < W; ++a)
+        std::memcpy(&outg[(long)(i0 + a) * gw + j0], &P[a * W], W);
+      if (strict)
+        for (int a = 0; a < W; ++a)
+          std::memcpy(&work[(long)(i0 + a) * gw + j0], &res[a * W], W);
+    }
+  }
+  for (uint32_t i = 0; i < rows; ++i)
+    std::memcpy(out_img + (long)i * cols, &outg[(long)i * gw], cols);
+  return 0;
+}
+
+// standalone helpers for tests
+int bic_enum_nbits(int n, int w) { return enum_nbits(n, w); }
+
+long bic_enum_roundtrip(const uint8_t* bits, int n, int w, uint8_t* out) {
+  Big r = enum_rank(bits, n, w);
+  enum_unrank(r, n, w, out);
+  return r.bit_length();
+}
+
+}  // extern "C"
