@@ -59,7 +59,7 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
-    d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
+    d, oy, ox = search.window_distance_maps_mxu(img, i0, j0, W, R)
     key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R, cols, rows,
                                   decodable=True)
     key = jnp.minimum(key1, key2)

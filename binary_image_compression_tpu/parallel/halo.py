@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import bitpack, predict
 
@@ -28,7 +28,7 @@ def med_forward_sharded(mesh: Mesh, packed, cols: int):
 
     @partial(shard_map, mesh=mesh,
              in_specs=P("data", None), out_specs=P("data", None),
-             check_rep=False)
+             )
     def fn(x):
         # send my LAST row to my down neighbor; receive from up neighbor
         last = x[-1:, :]
@@ -57,7 +57,7 @@ def med_inverse_sharded(mesh: Mesh, residual, cols: int):
 
     @partial(shard_map, mesh=mesh,
              in_specs=P("data", None), out_specs=P("data", None),
-             check_rep=False)
+             )
     def fn(r):
         # local horizontal prefix then local vertical prefix
         x = predict._prefix_xor_bits(r)
