@@ -59,7 +59,11 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
-    d, oy, ox = search.window_distance_maps_mxu(img, i0, j0, W, R)
+    # NOTE: the _mxu cross-product variant is numerically identical but
+    # its XLA graph compiles pathologically slowly through the axon
+    # remote-compile tunnel (>10min for 512x512); revisit with a local
+    # toolchain / Pallas kernel.  The grouped conv compiles in ~60s.
+    d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
     key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R, cols, rows,
                                   decodable=True)
     key = jnp.minimum(key1, key2)
