@@ -81,6 +81,18 @@ def main():
         an()
     t_dev = (time.time() - t0) / 5
 
+    # batched page throughput (the production-serving path)
+    B = 8
+    pages = np.stack([np.roll(img, 7 * i, axis=1) for i in range(B)])
+    blobs = compress.encode_batch(pages, params)      # warm/compile
+    t0 = time.time()
+    blobs = compress.encode_batch(pages, params)
+    t_batch = time.time() - t0
+    t0 = time.time()
+    outs = [codec.decode(b) for b in blobs]
+    t_batch_dec = time.time() - t0
+    assert all((o == pg).all() for o, pg in zip(outs, pages))
+
     mp = rows * cols / 1e6
     total = t_enc + t_dec
     ref_s = reference_seconds(FIXTURE)
@@ -97,6 +109,8 @@ def main():
         "compressed_bytes": len(blob),
         "raw_bytes": rows * cols // 8,
         "reference_estimator_s": round(ref_s, 3) if ref_s else None,
+        "batch8_mps": round(B * mp / (t_batch + t_batch_dec), 3),
+        "batch8_encode_s_per_page": round(t_batch / B, 4),
         "backend": jax.devices()[0].platform,
     }
     print(json.dumps(out))

@@ -171,7 +171,9 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     grid[:rows, :cols] = img
     out = encode_analyze(jnp.asarray(grid), W=W, R=R,
                          T_thresh=params.resolved_T(), rows=rows, cols=cols)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    # one batched transfer: per-array np.asarray costs ~25ms/buffer of
+    # round-trip latency through the remote-TPU tunnel
+    out = jax.device_get(out)
     M = W * W
     hdr = _header(params, rows, cols)
     res_bits = bitpack.np_unpack(out["residual"], M)
@@ -202,3 +204,40 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
         golomb_encode(wtr, wt, k)
         enum_encode(wtr, res_bits[t])
     return wtr.getvalue()
+
+
+def encode_batch(pages: np.ndarray, params: CodecParams | None = None
+                 ) -> list[bytes]:
+    """Batched multi-page encode: one vmapped device analysis for the whole
+    batch, then the native pack per page (host, trivially parallel).
+
+    pages: bool [B, rows, cols], all the same size."""
+    params = params or CodecParams(codec=8, strict=False)
+    assert params.codec == 8 and not params.strict
+    pages = np.asarray(pages, dtype=bool)
+    B, rows, cols = pages.shape
+    W, R = params.W, params.R
+    ny, nx = -(-rows // W), -(-cols // W)
+    grid = np.zeros((B, ny * W, nx * W), dtype=np.int8)
+    grid[:, :rows, :cols] = pages
+    T_thresh = params.resolved_T()
+
+    analyze = jax.vmap(lambda im: encode_analyze(
+        im, W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols))
+    out = jax.device_get(analyze(jnp.asarray(grid)))
+
+    from .. import native
+    M = W * W
+    hdr = _header(params, rows, cols)
+    blobs = []
+    for b in range(B):
+        res_bits = bitpack.np_unpack(out["residual"][b], M)
+        inv_arr = np.where(out["mode"][b] < 2, out["inv"][b], False)
+        blob = native.pack_tiles(
+            hdr, M, out["mode"][b], inv_arr, out["rank"][b],
+            np.where(out["mode"][b] < 2, out["idx_len"][b], 0),
+            out["weight"][b], res_bits.astype(np.uint8))
+        if blob is None:  # pure-python fallback
+            blob = encode(pages[b], params)
+        blobs.append(blob)
+    return blobs
