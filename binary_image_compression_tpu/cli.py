@@ -165,7 +165,8 @@ def cmd_info(args):
         return
     if blob[:4] != codec.MAGIC:
         sys.exit("not a BIC stream")
-    cid, flags, W, rows, cols, T, R = struct.unpack("<BBHIIII", blob[4:24])
+    crc, cid, flags, W, rows, cols, T, R = struct.unpack(
+        "<IBBHIIII", blob[4:28])
     print(json.dumps({"container": "BIC1", "codec": cid,
                       "mode": "strict" if flags & 1 else "causal",
                       "W": W, "rows": rows, "cols": cols, "T": T, "R": R,

@@ -3,6 +3,7 @@
 Container format ``BIC1``:
 
     magic   4B  "BIC1"
+    crc32   u32 of the raw packed image bytes (integrity check on decode)
     codec   u8  (2/3 = dictionary codecs, 4/6/7/8 = windowed tile codecs,
                  10 = full-image MED + adaptive run-length)
     flags   u8  bit0: strict mode (candidates reference the
@@ -40,6 +41,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -174,10 +176,18 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     return _encode_windowed(img, params)
 
 
-def _header(params, rows, cols) -> bytes:
+HEADER_LEN = 28
+
+
+def image_crc(img: np.ndarray) -> int:
+    return zlib.crc32(np.packbits(np.asarray(img, dtype=bool)).tobytes())
+
+
+def _header(params, rows, cols, crc: int = 0) -> bytes:
     flags = 1 if params.strict else 0
-    return MAGIC + struct.pack("<BBHIIII", params.codec, flags, params.W,
-                               rows, cols, params.resolved_T(), params.R)
+    return MAGIC + struct.pack("<IBBHIIII", crc, params.codec, flags,
+                               params.W, rows, cols, params.resolved_T(),
+                               params.R)
 
 
 def _encode_windowed(img, params) -> bytes:
@@ -195,8 +205,8 @@ def _encode_windowed(img, params) -> bytes:
     ref_img = work if params.strict else orig
 
     w = BitWriter()
-    w.write_bits(int.from_bytes(_header(params, rows, cols), "big"),
-                 len(_header(params, rows, cols)) * 8)
+    hdr = _header(params, rows, cols, image_crc(img))
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
     gm, gn = GolombCoder(), GolombCoder()
 
     for ti in range(ny):
@@ -266,24 +276,30 @@ def _gcost(g: GolombCoder, u: int) -> int:
 # decode
 # ---------------------------------------------------------------------------
 
-def decode(blob: bytes, *, use_native: bool = True) -> np.ndarray:
+def decode(blob: bytes, *, use_native: bool = True,
+           verify_crc: bool = True) -> np.ndarray:
     if blob[:4] != MAGIC:
         raise ValueError("not a BIC1 stream")
-    codec, flags, W, rows, cols, T, R = struct.unpack("<BBHIIII", blob[4:24])
+    crc, codec, flags, W, rows, cols, T, R = struct.unpack(
+        "<IBBHIIII", blob[4:HEADER_LEN])
     if rows * cols > 2 ** 34:
         raise ValueError(f"implausible dimensions {rows}x{cols}")
+    out = None
     if codec in (4, 6, 7, 8) and use_native:
         from .. import native
         out = native.decode_windowed(blob, rows, cols)
-        if out is not None:
-            return out
-    r = BitReader(blob, bit_offset=24 * 8)
-    if codec == 10:
-        return _decode_medrle(r, rows, cols)
-    if codec in (2, 3):
-        return _decode_dict(r, codec, W, rows, cols, T)
-    return _decode_windowed(r, codec, W, rows, cols, T, R,
-                            strict=bool(flags & 1))
+    if out is None:
+        r = BitReader(blob, bit_offset=HEADER_LEN * 8)
+        if codec == 10:
+            out = _decode_medrle(r, rows, cols)
+        elif codec in (2, 3):
+            out = _decode_dict(r, codec, W, rows, cols, T)
+        else:
+            out = _decode_windowed(r, codec, W, rows, cols, T, R,
+                                   strict=bool(flags & 1))
+    if verify_crc and image_crc(out) != crc:
+        raise ValueError("BIC1 integrity check failed (corrupt stream)")
+    return out
 
 
 def _decode_windowed(r, codec, W, rows, cols, T, R, strict):
@@ -349,7 +365,7 @@ def _encode_dict(img, params) -> bytes:
     grid = np.zeros((ny * W, nx * W), dtype=np.uint8)
     grid[:rows, :cols] = img
     w = BitWriter()
-    hdr = _header(params, rows, cols)
+    hdr = _header(params, rows, cols, image_crc(img))
     w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
     gm, gn = GolombCoder(), GolombCoder()
     dictionary: list[tuple[int, int]] = []
@@ -445,7 +461,7 @@ def _encode_medrle(img: np.ndarray) -> bytes:
     rows, cols = img.shape
     params = CodecParams(codec=10, W=0, T=0, R=0)
     w = BitWriter()
-    hdr = _header(params, rows, cols)
+    hdr = _header(params, rows, cols, image_crc(img))
     w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
     res = _med(np.asarray(img, dtype=np.uint8))
     flat = res.ravel()

@@ -34,7 +34,8 @@ from jax import lax
 from ..ops import bitpack, search
 from ..ops.bitstream import BitWriter, enum_encode, enum_nbits, golomb_encode
 from ..ops.entropy import GolombCoder
-from .codec import MAGIC, CodecParams, _header, decode  # shared container
+from .codec import (MAGIC, CodecParams, _header, decode,  # shared
+                    image_crc)
 
 
 def _med_tiles(P):
@@ -175,7 +176,7 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     # round-trip latency through the remote-TPU tunnel
     out = jax.device_get(out)
     M = W * W
-    hdr = _header(params, rows, cols)
+    hdr = _header(params, rows, cols, image_crc(img))
     res_bits = bitpack.np_unpack(out["residual"], M)
 
     # native (C++) encoder tail when available
@@ -228,9 +229,9 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None
 
     from .. import native
     M = W * W
-    hdr = _header(params, rows, cols)
     blobs = []
     for b in range(B):
+        hdr = _header(params, rows, cols, image_crc(pages[b]))
         res_bits = bitpack.np_unpack(out["residual"][b], M)
         inv_arr = np.where(out["mode"][b] < 2, out["inv"][b], False)
         blob = native.pack_tiles(

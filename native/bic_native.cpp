@@ -343,15 +343,16 @@ long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
 // rows*cols bytes.  Returns 0 on success.
 int bic_decode_windowed(const uint8_t* blob, long blob_len,
                         uint8_t* out_img) {
-  if (blob_len < 24) return -1;
-  int codec = blob[4];
-  int flags = blob[5];
-  int W;  std::memcpy(&W, blob + 6, 2); W &= 0xFFFF;
+  if (blob_len < 28) return -1;
+  // header: magic(4) crc(4) codec(1) flags(1) W(2) rows(4) cols(4) T(4) R(4)
+  int codec = blob[8];
+  int flags = blob[9];
+  int W = 0;  std::memcpy(&W, blob + 10, 2);
   uint32_t rows, cols, T, R;
-  std::memcpy(&rows, blob + 8, 4);
-  std::memcpy(&cols, blob + 12, 4);
-  std::memcpy(&T, blob + 16, 4);
-  std::memcpy(&R, blob + 20, 4);
+  std::memcpy(&rows, blob + 12, 4);
+  std::memcpy(&cols, blob + 16, 4);
+  std::memcpy(&T, blob + 20, 4);
+  std::memcpy(&R, blob + 24, 4);
   bool strict = flags & 1;
   bool invert = codec == 8;
   bool use_pred = codec == 7 || codec == 8;
@@ -361,7 +362,7 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
   std::vector<uint8_t> work(gh * gw, 0), outg(gh * gw, 0);
   uint8_t* ref = strict ? work.data() : outg.data();
   Reader r(blob, blob_len);
-  r.bitpos = 24 * 8;
+  r.bitpos = 28 * 8;
   Golomb gm, gn;
   std::vector<uint8_t> res(M), P(M);
   for (int ti = 0; ti < ny; ++ti) {

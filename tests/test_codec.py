@@ -69,3 +69,11 @@ def test_real_size_tracks_reference_estimate():
 def test_header_rejects_garbage():
     with pytest.raises(ValueError):
         codec.decode(b"NOPE" + b"\x00" * 40)
+
+
+def test_corruption_detected_by_crc():
+    img = load("text64.pbm")
+    blob = bytearray(codec.encode(img, codec.CodecParams(codec=8, W=8, R=32)))
+    blob[100] ^= 0xFF
+    with pytest.raises(ValueError, match="integrity"):
+        codec.decode(bytes(blob))
