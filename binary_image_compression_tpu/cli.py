@@ -49,11 +49,17 @@ def cmd_compress(args):
         raw = gray.size * (2 if maxval > 255 else 1)
     else:
         img = pnm.read_pbm(args.input)
-        use_tpu = args.backend == "tpu" or (
-            args.backend == "auto" and args.codec == 8
-            and args.mode == "causal")
-        blob = (compress.encode(img, params) if use_tpu
-                else codec.encode(img, params))
+        # strict-mode device scan compiles very slowly through the axon
+        # remote-compile tunnel; default it to the host path unless the
+        # user explicitly asks for the TPU backend
+        if args.codec == 8 and args.mode == "strict" \
+                and args.backend == "tpu":
+            blob = compress.encode_strict(img, params)
+        elif args.codec == 8 and args.mode == "causal" \
+                and args.backend in ("auto", "tpu"):
+            blob = compress.encode(img, params)
+        else:
+            blob = codec.encode(img, params)
         raw = img.size // 8
     with open(args.output, "wb") as f:
         f.write(blob)

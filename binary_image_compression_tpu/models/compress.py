@@ -242,3 +242,149 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None
             blob = encode(pages[b], params)
         blobs.append(blob)
     return blobs
+
+
+@partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols"))
+def encode_analyze_strict(img_bits, *, W: int, R: int, T_thresh: int,
+                          rows: int, cols: int):
+    """Strict-mode (residual-substitution) encoder analysis on device.
+
+    The reference's compress4..8 semantics: later tiles search the working
+    image where earlier tiles were replaced by their residuals
+    (compress8_test.cpp:294-300) — an inherently sequential chain, expressed
+    as one lax.scan over tiles whose carry is the working image; per step a
+    single-kernel conv computes the tile's whole candidate window.  Emits
+    the same per-tile record set as encode_analyze; byte-identical streams
+    to models/codec.encode(strict=True)."""
+    M = W * W
+    i0v, j0v, ny, nx = search.tile_origins(rows, cols, W)
+    Tn = int(i0v.shape[0])
+    gh, gw = ny * W, nx * W
+    wh = R + W
+    ww = 2 * R + 2 * W
+    work0 = jnp.asarray(img_bits, jnp.bfloat16)
+    # pad so context slices fit
+    ph, pw_ = max(0, wh - gh), max(0, ww - gw)
+    work0 = jnp.pad(work0, ((0, ph), (0, pw_)))
+
+    enb = jnp.asarray([enum_nbits(M, ww_) for ww_ in range(M + 1)],
+                      dtype=jnp.int32)
+    ks = jnp.arange(32, dtype=jnp.uint32)
+    ones_k = jnp.ones((1, 1, W, W), jnp.bfloat16)
+
+    def gstep(acc, n, k, u):
+        n = n + 1
+        acc = acc + u.astype(jnp.uint32)
+        ok = (n << ks) >= acc
+        newk = jnp.where(jnp.any(ok), jnp.argmax(ok).astype(jnp.uint32),
+                         jnp.uint32(31))
+        return acc, n, newk
+
+    def gcost(k, u):
+        return k.astype(jnp.int32) + (u >> k.astype(jnp.int32)) + 1
+
+    def step(carry, xs):
+        work, (am, nm, km), (an, nn, kn) = carry
+        i0, j0 = xs
+        oy = jnp.clip(i0 - R, 0, max(gh + ph - wh, 0))
+        ox = jnp.clip(j0 - R, 0, max(gw + pw_ - ww, 0))
+        ctx = lax.dynamic_slice(work, (oy, ox), (wh, ww))
+        P = lax.dynamic_slice(work, (i0, j0), (W, W))
+        corr = lax.conv_general_dilated(
+            ctx[None, None], P[None, None], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)[0, 0]
+        box = lax.conv_general_dilated(
+            ctx[None, None], ones_k, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)[0, 0]
+        pw2 = P.astype(jnp.float32).sum()
+        d = (pw2 + box - 2.0 * corr).astype(jnp.int32)[None]   # [1, h, w]
+        key1, key2 = search.scan_keys(
+            i0[None], j0[None], oy[None], ox[None], d.shape, W, R,
+            cols, rows, decodable=True)
+        key = jnp.minimum(key1, key2)
+        bestd, bestidx, bestinv, _ = search.select_best(
+            d, key, T_thresh, M, invert=True)
+        bestd, bestidx, bestinv = bestd[0], bestidx[0], bestinv[0]
+        validf = (key < search._INF_KEY).reshape(-1)
+        has_cands = validf.any()
+        n_cands = (key1 < search._INF_KEY).sum() + \
+                  (key2 < search._INF_KEY).sum()
+        key_sel = key.reshape(-1)[bestidx]
+        rank = (key1.reshape(-1) < key_sel).sum() + \
+               (key2.reshape(-1) < key_sel).sum()
+        wmap = d.shape[2]
+        ysel = oy + bestidx // wmap
+        xsel = ox + bestidx % wmap
+        P2 = lax.dynamic_slice(work, (ysel, xsel), (W, W))
+        Pi = P.astype(jnp.int8)
+        Pm = jnp.where(bestinv, 1 - Pi, Pi)
+        P3 = Pm ^ P2.astype(jnp.int8)
+        dP3 = _med_tiles(P3[None])[0]
+        dP = _med_tiles(Pi[None])[0]
+        w_mnp = P3.sum(dtype=jnp.int32)
+        w_mp = dP3.sum(dtype=jnp.int32)
+        w_nnp = Pi.sum(dtype=jnp.int32)
+        w_np_ = dP.sum(dtype=jnp.int32)
+        il = jnp.maximum(1, jnp.ceil(jnp.log2(
+            jnp.maximum(n_cands, 1).astype(jnp.float32))).astype(jnp.int32))
+        il = jnp.where(n_cands > 0, il, 0)
+        big = jnp.int32(1 << 28)
+        c0 = jnp.where(has_cands, 3 + il + gcost(km, w_mnp) + enb[w_mnp], big)
+        c1 = jnp.where(has_cands, 3 + il + gcost(km, w_mp) + enb[w_mp], big)
+        c2 = 2 + gcost(kn, w_nnp) + enb[w_nnp]
+        c3 = 2 + gcost(kn, w_np_) + enb[w_np_]
+        mode = jnp.argmin(jnp.stack([c0, c1, c2, c3])).astype(jnp.int32)
+        is_match = mode < 2
+        wt = jnp.stack([w_mnp, w_mp, w_nnp, w_np_])[mode]
+        k_used = jnp.where(is_match, km, kn).astype(jnp.int32)
+        am2, nm2, km2 = gstep(am, nm, km, wt)
+        an2, nn2, kn2 = gstep(an, nn, kn, wt)
+        ctx_m = (jnp.where(is_match, am2, am), jnp.where(is_match, nm2, nm),
+                 jnp.where(is_match, km2, km))
+        ctx_n = (jnp.where(is_match, an, an2), jnp.where(is_match, nn, nn2),
+                 jnp.where(is_match, kn, kn2))
+        res = jnp.stack([P3, dP3, Pi, dP])[mode]
+        work = lax.dynamic_update_slice(work, res.astype(jnp.bfloat16),
+                                        (i0, j0))
+        res_packed = bitpack.pack(res.reshape(M).astype(jnp.bool_))
+        out = dict(mode=mode, rank=rank, n_cands=n_cands, inv=bestinv,
+                   weight=wt, k_used=k_used, idx_len=il,
+                   residual=res_packed)
+        return (work, ctx_m, ctx_n), out
+
+    ctx0 = ((jnp.uint32(0), jnp.uint32(0), jnp.uint32(1)),
+            (jnp.uint32(0), jnp.uint32(0), jnp.uint32(1)))
+    (_, _, _), outs = lax.scan(step, (work0, *ctx0), (i0v, j0v))
+    return outs
+
+
+def encode_strict(img: np.ndarray, params: CodecParams | None = None
+                  ) -> bytes:
+    """TPU strict-mode encode; byte-identical to codec.encode(strict=True)."""
+    params = params or CodecParams(codec=8, strict=True)
+    assert params.codec == 8 and params.strict
+    img = np.asarray(img, dtype=bool)
+    rows, cols = img.shape
+    W, R = params.W, params.R
+    ny, nx = -(-rows // W), -(-cols // W)
+    grid = np.zeros((ny * W, nx * W), dtype=np.int8)
+    grid[:rows, :cols] = img
+    out = jax.device_get(encode_analyze_strict(
+        jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
+        rows=rows, cols=cols))
+    M = W * W
+    hdr = _header(params, rows, cols, image_crc(img))
+    res_bits = bitpack.np_unpack(out["residual"], M)
+    from .. import native
+    inv_arr = np.where(out["mode"] < 2, out["inv"], False)
+    blob = native.pack_tiles(hdr, M, out["mode"], inv_arr,
+                             out["rank"].astype(np.int64),
+                             np.where(out["mode"] < 2, out["idx_len"], 0),
+                             out["weight"], res_bits.astype(np.uint8))
+    if blob is not None:
+        return blob
+    # pure-python fallback
+    from .codec import encode as host_encode
+    return host_encode(img, params)

@@ -220,3 +220,65 @@ def window_distance_maps_mxu(img_dense, i0, j0, W: int, R: int):
     d = jax.vmap(lambda m, a, b: lax.dynamic_slice(m, (a, b), (wh, ww)))(
         d_full, oy, ox)
     return d, oy, ox
+
+
+def window_distance_maps_banded(img_dense, i0, j0, W: int, R: int,
+                                ny: int, nx: int):
+    """Row-band MXU search: one [nx, W^2] x [W^2, band] matmul per tile-row.
+
+    For the tiles of one grid row (fixed i0), every candidate lies in the
+    row band [max(i0-R,0), i0] x [0, cols-W].  lax.scan over the ny tile
+    rows keeps the graph small (one banded matmul compiled once), each step
+    a genuine MXU contraction over the W^2 patch dimension — unlike the
+    grouped conv, which lowers to depthwise VPU work.  Output matches
+    window_distance_maps' contract.
+    """
+    H, Wd = img_dense.shape
+    Hp, Wp = H - W + 1, Wd - W + 1
+    wh = R + 1
+    ww = 2 * R + W + 1
+    x = img_dense.astype(jnp.bfloat16)
+
+    # im2col once: [W*W, Hp, Wp]
+    patches = lax.conv_general_dilated_patches(
+        x[None, None], (W, W), (1, 1), "VALID")[0]
+    box = patches.astype(jnp.float32).sum(axis=0)            # [Hp, Wp]
+    # pad the band dimension so every band slice fits
+    pad_h = max(0, wh - Hp)
+    pad_w = max(0, ww - Wp)
+    patches = jnp.pad(patches, ((0, 0), (0, pad_h), (0, 0)))
+    box = jnp.pad(box, ((0, pad_h), (0, pad_w)),
+                  constant_values=jnp.float32(2**24))
+
+    i0r = i0.reshape(ny, nx)
+    j0r = j0.reshape(ny, nx)
+
+    def row_step(_, row):
+        i0_row, j0_row = row
+        base = jnp.clip(i0_row[0] - R, 0, max(Hp + pad_h - wh, 0))
+        band = lax.dynamic_slice(patches, (0, base, 0),
+                                 (W * W, wh, Wp))             # [M, wh, Wp]
+        bm = band.reshape(W * W, wh * Wp)
+        tiles = jax.vmap(
+            lambda a, b: lax.dynamic_slice(x, (a, b), (W, W)))(i0_row, j0_row)
+        tm = tiles.reshape(nx, W * W)
+        corr = jnp.dot(tm, bm,
+                       preferred_element_type=jnp.float32)    # [nx, wh*Wp]
+        pw = tm.astype(jnp.float32).sum(axis=1)
+        bandbox = lax.dynamic_slice(box, (base, 0), (wh, Wp + pad_w))
+        d_band = (pw[:, None, None]
+                  + bandbox[None, :, :Wp]
+                  - 2.0 * corr.reshape(nx, wh, Wp))
+        d_band = jnp.pad(d_band, ((0, 0), (0, 0), (0, pad_w)),
+                         constant_values=jnp.float32(2**24))
+        ox_row = jnp.clip(j0_row - R, 0, max(Wp + pad_w - ww, 0))
+        d_row = jax.vmap(lambda m, b: lax.dynamic_slice(
+            m, (0, b), (wh, ww)))(d_band, ox_row)             # [nx, wh, ww]
+        return None, (d_row.astype(jnp.int32), base, ox_row)
+
+    _, (d, bases, oxs) = lax.scan(row_step, None, (i0r, j0r))
+    T = ny * nx
+    d = d.reshape(T, wh, ww)
+    oy = jnp.repeat(bases, nx)
+    ox = oxs.reshape(T)
+    return d, oy, ox

@@ -90,3 +90,11 @@ def test_bitmerge_matches_bitwriter(rng):
     words, total = merge_bit_streams([w for w, _ in shards],
                                      [b for _, b in shards])
     assert words_to_bytes(words, total) == w_all.getvalue()
+
+
+@pytest.mark.parametrize("image,W,R", [("text64.pbm", 8, 32),
+                                       ("ragged75x101.pbm", 8, 16)])
+def test_strict_scan_encoder_matches_host(image, W, R):
+    img = pnm.read_pbm(os.path.join(FIX, image))
+    p = codec.CodecParams(codec=8, W=W, R=R, strict=True)
+    assert compress.encode_strict(img, p) == codec.encode(img, p)
