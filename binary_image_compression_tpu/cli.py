@@ -160,6 +160,29 @@ def cmd_planes2pgm(args):
     print(f"wrote {args.output} from {len(planes)} planes")
 
 
+def cmd_archive(args):
+    from .models import archive, codec
+    from .utils import pnm
+    params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
+                               R=args.R, strict=args.mode == "strict")
+    pages = [pnm.read_pbm(f) for f in args.inputs]
+    blob = archive.encode_archive(pages, params,
+                                  use_tpu=args.backend != "host")
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    raw = sum(p.size // 8 for p in pages)
+    print(f"{len(pages)} pages: {raw}B raw -> {len(blob)}B "
+          f"({100.0 * len(blob) / raw:.2f}%)")
+
+
+def cmd_extract(args):
+    from .models import archive
+    from .utils import pnm
+    blob = open(args.input, "rb").read()
+    pnm.write_pbm(archive.decode_page(blob, args.page), args.output)
+    print(f"wrote page {args.page} -> {args.output}")
+
+
 def cmd_info(args):
     from .models import codec
     blob = open(args.input, "rb").read()
@@ -232,6 +255,18 @@ def main(argv=None):
     p.add_argument("prefix")
     p.add_argument("output")
     p.set_defaults(fn=cmd_planes2pgm)
+
+    p = sub.add_parser("archive", help="many PBMs -> one .bica corpus")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    _add_codec_opts(p)
+    p.set_defaults(fn=cmd_archive)
+
+    p = sub.add_parser("extract", help="page from a .bica corpus")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--page", type=int, default=0)
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("info", help="inspect a .bic container")
     p.add_argument("input")

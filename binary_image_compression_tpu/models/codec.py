@@ -5,7 +5,8 @@ Container format ``BIC1``:
     magic   4B  "BIC1"
     crc32   u32 of the raw packed image bytes (integrity check on decode)
     codec   u8  (2/3 = dictionary codecs, 4/6/7/8 = windowed tile codecs,
-                 10 = full-image MED + adaptive run-length)
+                 10 = full-image MED + adaptive run-length, 11 = learned
+                 BSVD dictionary patch codec)
     flags   u8  bit0: strict mode (candidates reference the
                 residual-substituted working image, as compress4..8 do via
                 in-place set_submatrix); else causal-original mode
@@ -166,11 +167,14 @@ def _search_fast(work, P, cands, M, T, invert, W):
 # encode
 # ---------------------------------------------------------------------------
 
-def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
+def encode(img: np.ndarray, params: CodecParams | None = None,
+           **kwargs) -> bytes:
     params = params or CodecParams()
     img = np.asarray(img, dtype=bool)
     if params.codec == 10:
         return _encode_medrle(img)
+    if params.codec == 11:
+        return _encode_bsvd(img, params, **kwargs)
     if params.codec in (2, 3):
         return _encode_dict(img, params)
     return _encode_windowed(img, params)
@@ -292,6 +296,8 @@ def decode(blob: bytes, *, use_native: bool = True,
         r = BitReader(blob, bit_offset=HEADER_LEN * 8)
         if codec == 10:
             out = _decode_medrle(r, rows, cols)
+        elif codec == 11:
+            out = _decode_bsvd(r, W, rows, cols)
         elif codec in (2, 3):
             out = _decode_dict(r, codec, W, rows, cols, T)
         else:
@@ -597,3 +603,97 @@ def decode_pgm(blob: bytes) -> tuple[np.ndarray, int]:
                 break
         gray = v
     return gray, maxval
+
+
+# ---------------------------------------------------------------------------
+# codec 11: learned binary dictionary (BSVD) patch codec
+# ---------------------------------------------------------------------------
+
+def _encode_bsvd(img, params, *, K=64, learn_backend="tpu",
+                 seed=34503498) -> bytes:
+    """The codec the reference's patch_compress.cpp aimed at (it does not
+    compile — SURVEY.md §2.6): learn a GF(2) dictionary over the page's
+    patches, then code each patch as its coefficient set + sparse residual.
+
+    Stream: header | K:u16 | dictionary (per atom: golomb weight + enum
+    rank) | per patch: golomb #coefs (ctx c), enum rank of the coef set
+    over C(K, k_i), golomb residual weight (ctx r), enum residual rank.
+    """
+    from . import bsvd as bsvd_tpu
+    from . import bsvd_ref
+    img = np.asarray(img, dtype=bool)
+    rows, cols = img.shape
+    W = params.W
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    grid = np.zeros((ny * W, nx * W), dtype=bool)
+    grid[:rows, :cols] = img
+    X = grid.reshape(ny, W, nx, W).swapaxes(1, 2).reshape(ny * nx, M)
+    if learn_backend == "tpu":
+        import jax.numpy as jnp
+        E, D, A, _ = bsvd_tpu.learn(jnp.asarray(X, dtype=np.int8), K=K,
+                                    init="random_centroids", seed=seed)
+        E = np.asarray(E, dtype=bool)
+        D = np.asarray(D, dtype=bool)
+        A = np.asarray(A, dtype=bool)
+    else:
+        bsvd_ref.reset_rng(seed)
+        D = np.zeros((K, M), dtype=bool)
+        A = np.zeros((X.shape[0], K), dtype=bool)
+        bsvd_ref.initialize_random_centroids(X, D, A)
+        E = np.zeros_like(X)
+        bsvd_ref.learn_traditional(X, E, D, A,
+                                   bsvd_ref.update_coefficients,
+                                   bsvd_ref.update_dictionary_steepest)
+
+    w = BitWriter()
+    hdr = _header(params, rows, cols, image_crc(img))
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    w.write_bits(K, 16)
+    gd = GolombCoder()
+    for k in range(K):
+        wt = int(D[k].sum())
+        golomb_encode(w, wt, gd.k)
+        gd.code_sample(wt)
+        enum_encode(w, D[k])
+    gc, gr = GolombCoder(), GolombCoder()
+    for i in range(X.shape[0]):
+        coefs = A[i]
+        nc = int(coefs.sum())
+        golomb_encode(w, nc, gc.k)
+        gc.code_sample(nc)
+        enum_encode(w, coefs)
+        wt = int(E[i].sum())
+        golomb_encode(w, wt, gr.k)
+        gr.code_sample(wt)
+        enum_encode(w, E[i])
+    return w.getvalue()
+
+
+def _decode_bsvd(r: BitReader, W, rows, cols):
+    ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    K = r.read_bits(16)
+    gd = GolombCoder()
+    D = np.zeros((K, M), dtype=bool)
+    for k in range(K):
+        wt = golomb_decode(r, gd.k)
+        gd.code_sample(wt)
+        D[k] = enum_decode(r, M, wt)
+    Dint = D.astype(np.int64)
+    gc, gr = GolombCoder(), GolombCoder()
+    out = np.zeros((ny * W, nx * W), dtype=bool)
+    li = 0
+    for ti in range(ny):
+        for tj in range(nx):
+            nc = golomb_decode(r, gc.k)
+            gc.code_sample(nc)
+            coefs = enum_decode(r, K, nc)
+            wt = golomb_decode(r, gr.k)
+            gr.code_sample(wt)
+            E = enum_decode(r, M, wt)
+            patch = ((coefs.astype(np.int64) @ Dint) % 2 == 1) ^ E
+            out[ti * W:(ti + 1) * W, tj * W:(tj + 1) * W] = \
+                patch.reshape(W, W)
+            li += 1
+    return out[:rows, :cols]

@@ -77,3 +77,23 @@ def test_corruption_detected_by_crc():
     blob[100] ^= 0xFF
     with pytest.raises(ValueError, match="integrity"):
         codec.decode(bytes(blob))
+
+
+@pytest.mark.parametrize("backend", ["host"])
+def test_bsvd_codec_roundtrip(backend):
+    img = load("text64.pbm")
+    p = codec.CodecParams(codec=11, W=8)
+    blob = codec.encode(img, p, K=16, learn_backend="tpu")
+    np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_archive_roundtrip():
+    from binary_image_compression_tpu.models import archive
+    pages = [load("text64.pbm"),
+             np.roll(load("text64.pbm"), 5, axis=0),
+             load("noise96x80.pbm")]  # mixed shapes
+    p = codec.CodecParams(codec=8, W=8, R=32, strict=False)
+    blob = archive.encode_archive(pages, p, batch_size=2)
+    assert archive.page_count(blob) == 3
+    for i, pg in enumerate(pages):
+        np.testing.assert_array_equal(archive.decode_page(blob, i), pg)
