@@ -81,10 +81,11 @@ def main():
         an()
     t_dev = (time.time() - t0) / 5
 
-    # batched page throughput (the production-serving path)
+    # batched page throughput (the production-serving path; loop-mode
+    # batch reuses the single-page compilation — no extra compile risk)
     B = 8
     pages = np.stack([np.roll(img, 7 * i, axis=1) for i in range(B)])
-    blobs = compress.encode_batch(pages, params)      # warm/compile
+    blobs = compress.encode_batch(pages, params)      # warm
     t0 = time.time()
     blobs = compress.encode_batch(pages, params)
     t_batch = time.time() - t0
@@ -92,6 +93,16 @@ def main():
     outs = [codec.decode(b) for b in blobs]
     t_batch_dec = time.time() - t0
     assert all((o == pg).all() for o, pg in zip(outs, pages))
+
+    # codec 12 (context-adaptive arithmetic): the beyond-reference ratio
+    p12 = codec.CodecParams(codec=12, W=0, T=0, R=0)
+    b12 = codec.encode(img, p12)
+    assert (codec.decode(b12) == img).all()
+    t0 = time.time()
+    for _ in range(5):
+        codec.decode(codec.encode(img, p12))
+    t_cabic = (time.time() - t0) / 5
+    cabic_bytes = len(b12)
 
     mp = rows * cols / 1e6
     total = t_enc + t_dec
@@ -111,6 +122,8 @@ def main():
         "reference_estimator_s": round(ref_s, 3) if ref_s else None,
         "batch8_mps": round(B * mp / (t_batch + t_batch_dec), 3),
         "batch8_encode_s_per_page": round(t_batch / B, 4),
+        "cabic_bytes": cabic_bytes,
+        "cabic_mps": round(mp / t_cabic, 2) if t_cabic else None,
         "backend": jax.devices()[0].platform,
     }
     print(json.dumps(out))

@@ -26,7 +26,8 @@ import numpy as np
 
 def _add_codec_opts(p):
     p.add_argument("--codec", type=int, default=8,
-                   help="2/3 dict, 4/6/7/8 windowed, 10 med+rle (default 8)")
+                   help="2/3 dict, 4/6/7/8 windowed, 10 med+rle, 11 bsvd, "
+                        "12 cabic/arithmetic — best ratio (default 8)")
     p.add_argument("-W", type=int, default=16, help="tile width")
     p.add_argument("-T", type=int, default=None, help="early-exit threshold")
     p.add_argument("-R", type=int, default=128, help="search radius")

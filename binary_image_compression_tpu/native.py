@@ -60,6 +60,14 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
     lib.bic_enum_nbits.restype = ctypes.c_int
     lib.bic_enum_nbits.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.bic_cabic_encode.restype = ctypes.c_long
+    lib.bic_cabic_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bic_cabic_decode.restype = ctypes.c_int
+    lib.bic_cabic_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.bic_enum_roundtrip.restype = ctypes.c_long
     lib.bic_enum_roundtrip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -107,6 +115,33 @@ def decode_windowed(blob: bytes, rows: int, cols: int) -> np.ndarray | None:
         return None
     out = np.zeros(rows * cols, dtype=np.uint8)
     rc = lib.bic_decode_windowed(blob, len(blob), _p(out, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return out.reshape(rows, cols).astype(bool)
+
+
+def cabic_encode(img_u8: np.ndarray) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows, cols = img_u8.shape
+    img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
+    cap = rows * cols + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.bic_cabic_encode(_p(img_u8, ctypes.c_uint8), rows, cols,
+                             _p(out, ctypes.c_uint8), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def cabic_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(rows * cols, dtype=np.uint8)
+    rc = lib.bic_cabic_decode(body, len(body), rows, cols,
+                              _p(out, ctypes.c_uint8))
     if rc != 0:
         return None
     return out.reshape(rows, cols).astype(bool)

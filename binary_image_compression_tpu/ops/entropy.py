@@ -191,3 +191,80 @@ class EGCoder:
             self.bitcount += self.g + 1
             self._dec()
         return self.bitcount - n0
+
+
+# ---------------------------------------------------------------------------
+# Context-adaptive binary arithmetic coding (codec 12) — Python twin of the
+# native LZMA-style range coder (native/bic_native.cpp); used as fallback
+# and as the conformance oracle for the C++ implementation.
+# ---------------------------------------------------------------------------
+
+class RangeEncoder:
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def _shift_low(self):
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            for _ in range(self.cache_size - 1):
+                self.out.append((0xFF + carry) & 0xFF)
+            self.cache_size = 0
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def encode_bit(self, p1: int, bit: int):
+        bound = (self.range >> 16) * p1
+        if bit:
+            self.range = bound
+        else:
+            self.low += bound
+            self.range -= bound
+        while self.range < (1 << 24):
+            self._shift_low()
+            self.range <<= 8
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class RangeDecoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 1  # first byte is the encoder's initial zero cache
+        self.range = 0xFFFFFFFF
+        self.code = 0
+        for _ in range(4):
+            self.code = ((self.code << 8) | self._get()) & 0xFFFFFFFF
+
+    def _get(self) -> int:
+        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        self.pos += 1
+        return b
+
+    def decode_bit(self, p1: int) -> int:
+        bound = (self.range >> 16) * p1
+        if self.code < bound:
+            bit = 1
+            self.range = bound
+        else:
+            bit = 0
+            self.code -= bound
+            self.range -= bound
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self.code = ((self.code << 8) | self._get()) & 0xFFFFFFFF
+        return bit
+
+
+def cabac_model_update(p: int, bit: int) -> int:
+    """16-bit adaptive probability of 1, shift-5 update, clamped."""
+    p = p + ((0xFFFF - p) >> 5) if bit else p - (p >> 5)
+    return min(max(p, 32), 0xFFDF)

@@ -417,3 +417,124 @@ long bic_enum_roundtrip(const uint8_t* bits, int n, int w, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// codec 12: context-adaptive binary arithmetic coding (JBIG-class)
+// ===========================================================================
+// LZMA-style carry-counting range coder + per-context adaptive 16-bit
+// probabilities.  Context = 10 causal neighbors (3 from row-2, 5 from
+// row-1, 2 to the left), the classic JBIG template; out-of-image reads 0.
+// This goes beyond the reference (whose best tool is MED + Golomb
+// estimates) — typically 2-4x smaller on document images.
+
+namespace {
+
+struct RC {
+  uint8_t* out;
+  long cap, n = 0;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  int64_t cache_size = 1;
+  bool overflow = false;
+  RC(uint8_t* o, long c) : out(o), cap(c) {}
+  void emit(uint8_t b) {
+    if (n >= cap) { overflow = true; return; }
+    out[n++] = b;
+  }
+  void shift_low() {
+    if ((uint32_t)low < 0xFF000000u || (low >> 32) != 0) {
+      uint8_t carry = (uint8_t)(low >> 32);
+      do { emit((uint8_t)(cache + carry)); cache = 0xFF; }
+      while (--cache_size);
+      cache = (uint8_t)(low >> 24);
+    }
+    cache_size++;
+    low = (uint32_t)((uint32_t)low << 8);  // 32-bit truncating shift
+  }
+  void encode_bit(uint32_t p1, int bit) {  // p1 = P(bit==1) in [1, 0xFFFF]
+    uint32_t bound = (range >> 16) * p1;
+    if (bit) range = bound;
+    else { low += bound; range -= bound; }
+    while (range < (1u << 24)) { shift_low(); range <<= 8; }
+  }
+  long finish() {
+    for (int i = 0; i < 5; ++i) shift_low();
+    return n;
+  }
+};
+
+struct RD {
+  const uint8_t* in;
+  long nbytes, pos = 0;
+  uint32_t range = 0xFFFFFFFFu, code = 0;
+  RD(const uint8_t* i, long nb) : in(i), nbytes(nb) {
+    pos = 1;  // encoder's first byte is the initial zero cache
+    for (int k = 0; k < 4; ++k) code = (code << 8) | get();
+  }
+  uint8_t get() { return pos < nbytes ? in[pos++] : 0; }
+  int decode_bit(uint32_t p1) {
+    uint32_t bound = (range >> 16) * p1;
+    int bit;
+    if (code < bound) { bit = 1; range = bound; }
+    else { bit = 0; code -= bound; range -= bound; }
+    while (range < (1u << 24)) { range <<= 8; code = (code << 8) | get(); }
+    return bit;
+  }
+};
+
+static inline uint32_t ctx_at(const uint8_t* img, int rows, int cols,
+                              int r, int c) {
+  auto px = [&](int rr, int cc) -> uint32_t {
+    if (rr < 0 || cc < 0 || cc >= cols) return 0;
+    return img[(long)rr * cols + cc];
+  };
+  return (px(r - 2, c - 1) << 9) | (px(r - 2, c) << 8)
+       | (px(r - 2, c + 1) << 7) | (px(r - 1, c - 2) << 6)
+       | (px(r - 1, c - 1) << 5) | (px(r - 1, c) << 4)
+       | (px(r - 1, c + 1) << 3) | (px(r - 1, c + 2) << 2)
+       | (px(r, c - 2) << 1) | px(r, c - 1);
+}
+
+static inline void model_update(uint16_t& p, int bit) {
+  if (bit) p = (uint16_t)(p + ((0xFFFFu - p) >> 5));
+  else p = (uint16_t)(p - (p >> 5));
+  if (p < 32) p = 32;
+  if (p > 0xFFDF) p = 0xFFDF;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a 0/1 image with 10-bit-context adaptive arithmetic coding.
+// Returns byte length, or -1 on overflow.
+long bic_cabic_encode(const uint8_t* img, int rows, int cols,
+                      uint8_t* out, long cap) {
+  std::vector<uint16_t> prob(1 << 10, 0x8000);
+  RC rc(out, cap);
+  for (int r = 0; r < rows; ++r)
+    for (int c = 0; c < cols; ++c) {
+      uint32_t ctx = ctx_at(img, rows, cols, r, c);
+      rc.encode_bit(prob[ctx], img[(long)r * cols + c]);
+      model_update(prob[ctx], img[(long)r * cols + c]);
+      if (rc.overflow) return -1;
+    }
+  return rc.finish();
+}
+
+int bic_cabic_decode(const uint8_t* blob, long blob_len, int rows, int cols,
+                     uint8_t* out_img) {
+  std::vector<uint16_t> prob(1 << 10, 0x8000);
+  RD rd(blob, blob_len);
+  for (int r = 0; r < rows; ++r)
+    for (int c = 0; c < cols; ++c) {
+      uint32_t ctx = ctx_at(out_img, rows, cols, r, c);
+      int bit = rd.decode_bit(prob[ctx]);
+      model_update(prob[ctx], bit);
+      out_img[(long)r * cols + c] = (uint8_t)bit;
+    }
+  return 0;
+}
+
+}  // extern "C"

@@ -97,3 +97,51 @@ def test_archive_roundtrip():
     assert archive.page_count(blob) == 3
     for i, pg in enumerate(pages):
         np.testing.assert_array_equal(archive.decode_page(blob, i), pg)
+
+
+def test_cabic_roundtrip_all_fixtures():
+    for name in ("text64.pbm", "text256.pbm", "noise96x80.pbm",
+                 "ragged75x101.pbm", "sparse128.pbm"):
+        img = load(name)
+        p = codec.CodecParams(codec=12, W=0, T=0, R=0)
+        blob = codec.encode(img, p)
+        np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_cabic_beats_windowed_on_documents():
+    img = load("text256.pbm")
+    c8 = codec.encode(img, codec.CodecParams(codec=8, W=16, R=128,
+                                             strict=False))
+    c12 = codec.encode(img, codec.CodecParams(codec=12, W=0, T=0, R=0))
+    assert len(c12) < len(c8)
+
+
+def test_cabic_python_twin_matches_native():
+    from binary_image_compression_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    img = load("text64.pbm")
+    from binary_image_compression_tpu.ops.entropy import (RangeEncoder,
+                                                          cabac_model_update)
+    from binary_image_compression_tpu.models.codec import _ctx_template
+    prob = [0x8000] * 1024
+    rc = RangeEncoder()
+    u8 = img.astype(np.uint8)
+    for r in range(img.shape[0]):
+        for c in range(img.shape[1]):
+            ctx = _ctx_template(u8, r, c, *img.shape)
+            rc.encode_bit(prob[ctx], int(u8[r, c]))
+            prob[ctx] = cabac_model_update(prob[ctx], int(u8[r, c]))
+    assert rc.finish() == native.cabic_encode(u8)
+    # python decode of the native stream
+    blob = codec.encode(img, codec.CodecParams(codec=12, W=0, T=0, R=0))
+    from binary_image_compression_tpu.models.codec import (_decode_cabic,
+                                                           HEADER_LEN)
+    import binary_image_compression_tpu.native as nat
+    real = nat.cabic_decode
+    nat.cabic_decode = lambda *a: None  # force python path
+    try:
+        out = _decode_cabic(blob[HEADER_LEN:], *img.shape)
+    finally:
+        nat.cabic_decode = real
+    np.testing.assert_array_equal(out, img)

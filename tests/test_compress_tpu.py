@@ -98,3 +98,12 @@ def test_strict_scan_encoder_matches_host(image, W, R):
     img = pnm.read_pbm(os.path.join(FIX, image))
     p = codec.CodecParams(codec=8, W=W, R=R, strict=True)
     assert compress.encode_strict(img, p) == codec.encode(img, p)
+
+
+def test_encode_batch_matches_single():
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    pages = np.stack([img, np.roll(img, 3, axis=1), ~img])
+    p = codec.CodecParams(codec=8, W=8, R=32, strict=False)
+    blobs = compress.encode_batch(pages, p)
+    for i in range(3):
+        assert blobs[i] == compress.encode(pages[i], p)
