@@ -180,13 +180,23 @@ def cmd_extract(args):
     from .models import archive
     from .utils import pnm
     blob = open(args.input, "rb").read()
-    pnm.write_pbm(archive.decode_page(blob, args.page), args.output)
+    try:
+        page = archive.decode_page(blob, args.page)
+    except IndexError:
+        sys.exit(f"error: page {args.page} out of range "
+                 f"(archive has {archive.page_count(blob)} pages)")
+    pnm.write_pbm(page, args.output)
     print(f"wrote page {args.page} -> {args.output}")
 
 
 def cmd_info(args):
-    from .models import codec
+    from .models import codec, archive
     blob = open(args.input, "rb").read()
+    if blob[:4] == archive.MAGIC:
+        n = archive.page_count(blob)
+        print(json.dumps({"container": "BICA", "pages": n,
+                          "bytes": len(blob)}))
+        return
     if blob[:4] == codec.PGM_MAGIC:
         nplanes, gflag, maxval = struct.unpack("<BBH", blob[4:8])
         print(json.dumps({"container": "BICG", "planes": nplanes,

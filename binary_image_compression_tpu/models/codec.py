@@ -168,9 +168,15 @@ def _search_fast(work, P, cands, M, T, invert, W):
 # encode
 # ---------------------------------------------------------------------------
 
+VALID_CODECS = (2, 3, 4, 6, 7, 8, 10, 11, 12)
+
+
 def encode(img: np.ndarray, params: CodecParams | None = None,
            **kwargs) -> bytes:
     params = params or CodecParams()
+    if params.codec not in VALID_CODECS:
+        raise ValueError(f"unknown codec id {params.codec}; "
+                         f"valid: {VALID_CODECS}")
     img = np.asarray(img, dtype=bool)
     if params.codec == 10:
         return _encode_medrle(img)
