@@ -582,8 +582,8 @@ def encode_pgm(gray: np.ndarray, maxval: int,
     if params is None:
         # per-plane best-of: smooth high planes favor the windowed codec,
         # noisy low planes the run-length codec; pick by actual bytes
-        cand = [CodecParams(codec=10, W=0),
-                CodecParams(codec=8, W=16, strict=False)]
+        cand = [CodecParams(codec=12, W=0, T=0, R=0),
+                CodecParams(codec=10, W=0)]
         blobs = [min((encode(p, c) for c in cand), key=len)
                  for p in planes]
     else:

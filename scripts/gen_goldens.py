@@ -125,6 +125,12 @@ def main():
         ("c8_text64_w8", "compress8_test", "text64.pbm", ["8", "2", "32"], "search"),
         ("c8_sparse_w16", "compress8_test", "sparse128.pbm", ["16"], "search"),
         ("c8_doc512_w16", "compress8_test", "doc512.pbm", ["16"], "search"),
+        ("c8_text256_w32", "compress8_test", "text256.pbm", ["32"], "search"),
+        ("c8_text64_w4", "compress8_test", "text64.pbm", ["4", "1", "16"], "search"),
+        ("c7_sparse_w16", "compress7_test", "sparse128.pbm", ["16", "2", "64"], "search"),
+        ("c4_text64_w16_t8", "compress4_test", "text64.pbm", ["16", "8", "64"], "search"),
+        ("c2_sparse_w16", "compress2_test", "sparse128.pbm", ["16"], "dict"),
+        ("c3_noise_w16_t64", "compress3_test", "noise96x80.pbm", ["16", "64"], "dict"),
     ]
     for name, binary, image, args, kind in compress_runs:
         cmd = [f"{REFBUILD}/{binary}", f"{FIX}/{image}"] + args
