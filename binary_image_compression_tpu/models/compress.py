@@ -101,61 +101,54 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     w_nnp = P.sum(axis=(1, 2), dtype=jnp.int32)
     w_np_ = dP.sum(axis=(1, 2), dtype=jnp.int32)
 
-    enb = jnp.asarray([enum_nbits(M, ww) for ww in range(M + 1)],
-                      dtype=jnp.int32)
     idx_len = jnp.maximum(1, jnp.ceil(
         jnp.log2(jnp.maximum(n_cands, 1).astype(jnp.float32))
     ).astype(jnp.int32))
     idx_len = jnp.where(n_cands > 0, idx_len, 0)
 
-    ks = jnp.arange(32, dtype=jnp.uint32)
+    # The per-tile mode decision threads two adaptive Golomb contexts
+    # sequentially through the tiles — 4 integer adds per tile.  That is
+    # host work (_decide_modes, ~2ms); forcing it through a device lax.scan
+    # cost ~25ms/page.  The device returns per-mode weights and all four
+    # candidate residuals, packed.
+    weights4 = jnp.stack([w_mnp, w_mp, w_nnp, w_np_], axis=1)  # [T, 4]
+    res4 = jnp.stack([P3, dP3, P, dP], axis=1)                 # [T, 4, W, W]
+    res_packed4 = bitpack.pack(res4.reshape(Tn, 4, M).astype(jnp.bool_))
 
-    def gstep(acc, n, k, u):
-        """GolombCoder.codeSample state transition (GolombCoder.cpp:29-33)."""
-        n = n + 1
-        acc = acc + u.astype(jnp.uint32)
-        ok = (n << ks) >= acc
-        newk = jnp.where(jnp.any(ok), jnp.argmax(ok).astype(jnp.uint32),
-                         jnp.uint32(31))
-        return acc, n, newk
+    return dict(rank=rank, n_cands=n_cands, inv=bestinv,
+                has_cands=has_cands, weights4=weights4,
+                idx_len=idx_len, residual4=res_packed4)
 
-    def gcost(k, u):
-        return k.astype(jnp.int32) + (u >> k.astype(jnp.int32)) + 1
 
-    def step(carry, xs):
-        (am, nm, km), (an, nn, kn) = carry
-        hc, il, wm0, wm1, wn0, wn1 = xs
-        big = jnp.int32(1 << 28)
-        c0 = jnp.where(hc, 3 + il + gcost(km, wm0) + enb[wm0], big)
-        c1 = jnp.where(hc, 3 + il + gcost(km, wm1) + enb[wm1], big)
-        c2 = 2 + gcost(kn, wn0) + enb[wn0]
-        c3 = 2 + gcost(kn, wn1) + enb[wn1]
-        costs = jnp.stack([c0, c1, c2, c3])
-        mode = jnp.argmin(costs).astype(jnp.int32)
-        is_match = mode < 2
-        wt = jnp.stack([wm0, wm1, wn0, wn1])[mode]
-        k_used = jnp.where(is_match, km, kn).astype(jnp.int32)
-        am2, nm2, km2 = gstep(am, nm, km, wt)
-        an2, nn2, kn2 = gstep(an, nn, kn, wt)
-        newm = jnp.where(is_match, jnp.stack([am2, nm2, km2]),
-                         jnp.stack([am, nm, km]))
-        newn = jnp.where(is_match, jnp.stack([an, nn, kn]),
-                         jnp.stack([an2, nn2, kn2]))
-        return ((newm[0], newm[1], newm[2]), (newn[0], newn[1], newn[2])), \
-            (mode, wt, k_used)
-
-    ctx0 = ((jnp.uint32(0), jnp.uint32(0), jnp.uint32(1)),
-            (jnp.uint32(0), jnp.uint32(0), jnp.uint32(1)))
-    _, (mode, weight, k_used) = lax.scan(
-        step, ctx0, (has_cands, idx_len, w_mnp, w_mp, w_nnp, w_np_))
-
-    res = jnp.stack([P3, dP3, P, dP])                    # [4, T, W, W]
-    chosen = res[mode, jnp.arange(Tn)]                   # [T, W, W]
-    res_packed = bitpack.pack(chosen.reshape(Tn, M).astype(jnp.bool_))
-
-    return dict(mode=mode, rank=rank, n_cands=n_cands, inv=bestinv,
-                weight=weight, k_used=k_used, idx_len=idx_len,
-                residual=res_packed)
+def _decide_modes(out, M):
+    """Host replay of the 4-way mode decision with the two adaptive Golomb
+    contexts (identical integer math to models/codec._encode_windowed)."""
+    from ..ops.entropy import GolombCoder
+    T = out["weights4"].shape[0]
+    enb = np.array([enum_nbits(M, w) for w in range(M + 1)], dtype=np.int64)
+    gm, gn = GolombCoder(), GolombCoder()
+    mode = np.empty(T, dtype=np.int32)
+    weight = np.empty(T, dtype=np.int32)
+    k_used = np.empty(T, dtype=np.int32)
+    w4 = np.asarray(out["weights4"])
+    hc = np.asarray(out["has_cands"])
+    il = np.asarray(out["idx_len"])
+    gk = lambda g, u: g.k + (int(u) >> g.k) + 1
+    big = 1 << 28
+    for t in range(T):
+        c = [
+            3 + il[t] + gk(gm, w4[t, 0]) + enb[w4[t, 0]] if hc[t] else big,
+            3 + il[t] + gk(gm, w4[t, 1]) + enb[w4[t, 1]] if hc[t] else big,
+            2 + gk(gn, w4[t, 2]) + enb[w4[t, 2]],
+            2 + gk(gn, w4[t, 3]) + enb[w4[t, 3]],
+        ]
+        m = int(np.argmin(c))
+        mode[t] = m
+        weight[t] = w4[t, m]
+        g = gm if m < 2 else gn
+        k_used[t] = g.k
+        g.code_sample(int(w4[t, m]))
+    return mode, weight, k_used
 
 
 def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
@@ -177,32 +170,36 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     out = jax.device_get(out)
     M = W * W
     hdr = _header(params, rows, cols, image_crc(img))
-    res_bits = bitpack.np_unpack(out["residual"], M)
+    return _assemble(out, hdr, M, ny * nx)
 
-    # native (C++) encoder tail when available
+
+def _assemble(out, hdr, M, T):
+    mode, weight, k_used = _decide_modes(out, M)
+    res_bits4 = bitpack.np_unpack(out["residual4"], M)     # [T, 4, M]
+    res_bits = res_bits4[np.arange(T), mode]
+
     from .. import native
-    inv_arr = np.where(out["mode"] < 2, out["inv"], False)
-    blob = native.pack_tiles(hdr, M, out["mode"], inv_arr, out["rank"],
-                             np.where(out["mode"] < 2, out["idx_len"], 0),
-                             out["weight"], res_bits.astype(np.uint8))
+    inv_arr = np.where(mode < 2, out["inv"], False)
+    blob = native.pack_tiles(hdr, M, mode, inv_arr,
+                             out["rank"].astype(np.int64),
+                             np.where(mode < 2, out["idx_len"], 0),
+                             weight, res_bits.astype(np.uint8))
     if blob is not None:
         return blob
 
     wtr = BitWriter()
     wtr.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
-    for t in range(ny * nx):
-        mode = int(out["mode"][t])
-        wt = int(out["weight"][t])
-        k = int(out["k_used"][t])
-        if mode < 2:  # match
+    for t in range(T):
+        m = int(mode[t])
+        if m < 2:  # match
             wtr.write_bits(1, 1)
-            wtr.write_bits(mode & 1, 1)          # pred
+            wtr.write_bits(m & 1, 1)             # pred
             wtr.write_bits(int(out["inv"][t]), 1)
             wtr.write_bits(int(out["rank"][t]), int(out["idx_len"][t]))
         else:
             wtr.write_bits(0, 1)
-            wtr.write_bits(mode & 1, 1)          # pred
-        golomb_encode(wtr, wt, k)
+            wtr.write_bits(m & 1, 1)             # pred
+        golomb_encode(wtr, int(weight[t]), int(k_used[t]))
         enum_encode(wtr, res_bits[t])
     return wtr.getvalue()
 
@@ -239,20 +236,13 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
         outs = jax.device_get(handles)
         out = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
 
-    from .. import native
     M = W * W
+    Tn = ny * nx
     blobs = []
     for b in range(B):
         hdr = _header(params, rows, cols, image_crc(pages[b]))
-        res_bits = bitpack.np_unpack(out["residual"][b], M)
-        inv_arr = np.where(out["mode"][b] < 2, out["inv"][b], False)
-        blob = native.pack_tiles(
-            hdr, M, out["mode"][b], inv_arr, out["rank"][b],
-            np.where(out["mode"][b] < 2, out["idx_len"][b], 0),
-            out["weight"][b], res_bits.astype(np.uint8))
-        if blob is None:  # pure-python fallback
-            blob = encode(pages[b], params)
-        blobs.append(blob)
+        per_page = {k: v[b] for k, v in out.items()}
+        blobs.append(_assemble(per_page, hdr, M, Tn))
     return blobs
 
 
