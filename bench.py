@@ -40,7 +40,16 @@ def reference_seconds(image):
         return None
 
 
+class _CompileTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _CompileTimeout()
+
+
 def main():
+    import signal
     import jax
     from binary_image_compression_tpu.models import codec, compress
     from binary_image_compression_tpu.utils import pnm
@@ -52,9 +61,39 @@ def main():
     img = pnm.read_pbm(FIXTURE)
     rows, cols = img.shape
     params = codec.CodecParams(codec=8, W=16, R=128, strict=False)
+    mp = rows * cols / 1e6
 
-    # warm up (jit compile)
-    blob = compress.encode(img, params)
+    # codec 12 first (no jit): guarantees a result even if the TPU
+    # remote-compile service stalls (observed 60s..480s variance)
+    p12 = codec.CodecParams(codec=12, W=0, T=0, R=0)
+    b12 = codec.encode(img, p12)
+    assert (codec.decode(b12) == img).all()
+    t0 = time.time()
+    for _ in range(5):
+        codec.decode(codec.encode(img, p12))
+    t_cabic = (time.time() - t0) / 5
+    cabic_bytes = len(b12)
+
+    # warm up (jit compile) under a watchdog
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "450")))
+    try:
+        blob = compress.encode(img, params)
+        signal.alarm(0)
+    except _CompileTimeout:
+        ref_s = reference_seconds(FIXTURE)
+        print(json.dumps({
+            "metric": "codec12 encode+decode throughput (bit-exact PBM "
+                      "round-trip, 512x512 doc page; TPU codec-8 path "
+                      "skipped: remote-compile stall)",
+            "value": round(mp / t_cabic, 3),
+            "unit": "megapixels/s/chip",
+            "vs_baseline": round(ref_s / t_cabic, 3) if ref_s else None,
+            "compressed_bytes": cabic_bytes,
+            "raw_bytes": rows * cols // 8,
+            "backend": jax.devices()[0].platform,
+        }))
+        return
     back = codec.decode(blob)
     assert (back == img).all(), "round-trip not bit-exact"
 
@@ -94,17 +133,6 @@ def main():
     t_batch_dec = time.time() - t0
     assert all((o == pg).all() for o, pg in zip(outs, pages))
 
-    # codec 12 (context-adaptive arithmetic): the beyond-reference ratio
-    p12 = codec.CodecParams(codec=12, W=0, T=0, R=0)
-    b12 = codec.encode(img, p12)
-    assert (codec.decode(b12) == img).all()
-    t0 = time.time()
-    for _ in range(5):
-        codec.decode(codec.encode(img, p12))
-    t_cabic = (time.time() - t0) / 5
-    cabic_bytes = len(b12)
-
-    mp = rows * cols / 1e6
     total = t_enc + t_dec
     ref_s = reference_seconds(FIXTURE)
     out = {
