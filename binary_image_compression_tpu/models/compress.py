@@ -229,12 +229,14 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
         out = jax.device_get(analyze(jnp.asarray(grid)))
     else:
         gj = jnp.asarray(grid)
-        # enqueue all pages (async dispatch overlaps device + transfers),
-        # then fetch each page's outputs in one device_get
+        # enqueue all pages asynchronously, stack on device (one buffer per
+        # field instead of B*fields — the remote link charges ~25ms latency
+        # per fetched buffer), then one device_get
         handles = [encode_analyze(gj[b], W=W, R=R, T_thresh=T_thresh,
                                   rows=rows, cols=cols) for b in range(B)]
-        outs = jax.device_get(handles)
-        out = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+        stacked = {k: jnp.stack([h[k] for h in handles])
+                   for k in handles[0]}
+        out = jax.device_get(stacked)
 
     M = W * W
     Tn = ny * nx
