@@ -46,10 +46,12 @@ def _med_tiles(P):
     return P ^ up ^ left ^ upleft
 
 
-@partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols"))
+@partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols",
+                                   "invert"))
 def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
-                   rows: int, cols: int):
-    """Device-side encoder analysis for codec 8 (causal-original mode).
+                   rows: int, cols: int, invert: bool = True):
+    """Device-side encoder analysis for codecs 4/7/8 (causal-original mode).
+    invert=False disables the complement trick (codecs 4/7).
 
     img_bits: bool/int [ny*W, nx*W] (zero-padded tile grid).
     Returns per-tile arrays: mode (0=m/nonpred 1=m/pred 2=n/nonpred
@@ -69,7 +71,7 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
                                   decodable=True)
     key = jnp.minimum(key1, key2)
     bestd, bestidx, bestinv, found = search.select_best(
-        d, key, T_thresh, M, invert=True)
+        d, key, T_thresh, M, invert=invert)
     # any valid candidate at all?
     validf = (key < search._INF_KEY).reshape(Tn, -1)
     has_cands = validf.any(axis=1)
@@ -120,10 +122,14 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
                 idx_len=idx_len, residual4=res_packed4)
 
 
-def _decide_modes(out, M):
-    """Host replay of the 4-way mode decision with the two adaptive Golomb
-    contexts (identical integer math to models/codec._encode_windowed)."""
+def _decide_modes(out, M, codec_id=8):
+    """Host replay of the mode decision with the two adaptive Golomb
+    contexts (identical integer math to models/codec._encode_windowed).
+    codec 8: 4 modes (+inv bit); codec 7: 4 modes; codec 4/6: 2 modes."""
     from ..ops.entropy import GolombCoder
+    use_pred = codec_id in (7, 8)
+    mcost = 3 if codec_id == 8 else 2
+    ncost = 2 if use_pred else 1
     T = out["weights4"].shape[0]
     enb = np.array([enum_nbits(M, w) for w in range(M + 1)], dtype=np.int64)
     gm, gn = GolombCoder(), GolombCoder()
@@ -137,10 +143,12 @@ def _decide_modes(out, M):
     big = 1 << 28
     for t in range(T):
         c = [
-            3 + il[t] + gk(gm, w4[t, 0]) + enb[w4[t, 0]] if hc[t] else big,
-            3 + il[t] + gk(gm, w4[t, 1]) + enb[w4[t, 1]] if hc[t] else big,
-            2 + gk(gn, w4[t, 2]) + enb[w4[t, 2]],
-            2 + gk(gn, w4[t, 3]) + enb[w4[t, 3]],
+            mcost + il[t] + gk(gm, w4[t, 0]) + enb[w4[t, 0]]
+            if hc[t] else big,
+            mcost + il[t] + gk(gm, w4[t, 1]) + enb[w4[t, 1]]
+            if (hc[t] and use_pred) else big,
+            ncost + gk(gn, w4[t, 2]) + enb[w4[t, 2]],
+            ncost + gk(gn, w4[t, 3]) + enb[w4[t, 3]] if use_pred else big,
         ]
         m = int(np.argmin(c))
         mode[t] = m
@@ -155,8 +163,8 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     """Full TPU-path encode (causal mode, codec 8): device analysis + host
     bit assembly.  Byte-identical to models/codec.encode(strict=False)."""
     params = params or CodecParams(codec=8, strict=False)
-    assert params.codec == 8 and not params.strict, \
-        "TPU path currently implements codec 8 causal mode"
+    assert params.codec in (4, 7, 8) and not params.strict, \
+        "TPU path implements codecs 4/7/8 in causal mode"
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape
     W, R = params.W, params.R
@@ -164,28 +172,31 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     grid = np.zeros((ny * W, nx * W), dtype=np.int8)
     grid[:rows, :cols] = img
     out = encode_analyze(jnp.asarray(grid), W=W, R=R,
-                         T_thresh=params.resolved_T(), rows=rows, cols=cols)
+                         T_thresh=params.resolved_T(), rows=rows, cols=cols,
+                         invert=params.codec == 8)
     # one batched transfer: per-array np.asarray costs ~25ms/buffer of
     # round-trip latency through the remote-TPU tunnel
     out = jax.device_get(out)
     M = W * W
     hdr = _header(params, rows, cols, image_crc(img))
-    return _assemble(out, hdr, M, ny * nx)
+    return _assemble(out, hdr, M, ny * nx, params.codec)
 
 
-def _assemble(out, hdr, M, T):
-    mode, weight, k_used = _decide_modes(out, M)
+def _assemble(out, hdr, M, T, codec_id=8):
+    mode, weight, k_used = _decide_modes(out, M, codec_id)
     res_bits4 = bitpack.np_unpack(out["residual4"], M)     # [T, 4, M]
     res_bits = res_bits4[np.arange(T), mode]
+    use_pred = codec_id in (7, 8)
 
     from .. import native
-    inv_arr = np.where(mode < 2, out["inv"], False)
-    blob = native.pack_tiles(hdr, M, mode, inv_arr,
-                             out["rank"].astype(np.int64),
-                             np.where(mode < 2, out["idx_len"], 0),
-                             weight, res_bits.astype(np.uint8))
-    if blob is not None:
-        return blob
+    if codec_id == 8:
+        inv_arr = np.where(mode < 2, out["inv"], False)
+        blob = native.pack_tiles(hdr, M, mode, inv_arr,
+                                 out["rank"].astype(np.int64),
+                                 np.where(mode < 2, out["idx_len"], 0),
+                                 weight, res_bits.astype(np.uint8))
+        if blob is not None:
+            return blob
 
     wtr = BitWriter()
     wtr.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
@@ -193,12 +204,15 @@ def _assemble(out, hdr, M, T):
         m = int(mode[t])
         if m < 2:  # match
             wtr.write_bits(1, 1)
-            wtr.write_bits(m & 1, 1)             # pred
-            wtr.write_bits(int(out["inv"][t]), 1)
+            if use_pred:
+                wtr.write_bits(m & 1, 1)
+            if codec_id == 8:
+                wtr.write_bits(int(out["inv"][t]), 1)
             wtr.write_bits(int(out["rank"][t]), int(out["idx_len"][t]))
         else:
             wtr.write_bits(0, 1)
-            wtr.write_bits(m & 1, 1)             # pred
+            if use_pred:
+                wtr.write_bits(m & 1, 1)
         golomb_encode(wtr, int(weight[t]), int(k_used[t]))
         enum_encode(wtr, res_bits[t])
     return wtr.getvalue()

@@ -107,3 +107,10 @@ def test_encode_batch_matches_single():
     blobs = compress.encode_batch(pages, p)
     for i in range(3):
         assert blobs[i] == compress.encode(pages[i], p)
+
+
+@pytest.mark.parametrize("cid", [4, 7])
+def test_tpu_encoder_codec47(cid):
+    img = pnm.read_pbm(os.path.join(FIX, "text256.pbm"))
+    p = codec.CodecParams(codec=cid, W=16, R=64, strict=False)
+    assert compress.encode(img, p) == codec.encode(img, p)
