@@ -161,6 +161,31 @@ def cmd_planes2pgm(args):
     print(f"wrote {args.output} from {len(planes)} planes")
 
 
+def cmd_compare(args):
+    from .models import codec
+    from .utils import pnm
+    img = pnm.read_pbm(args.input)
+    raw = img.size // 8
+    rows = [("raw", raw, None)]
+    for cid, label in [(2, "dict"), (3, "dict+T"), (4, "window"),
+                       (7, "window+pred"), (8, "window+pred+inv"),
+                       (10, "med+rle"), (12, "cabic/arithmetic")]:
+        p = codec.CodecParams(codec=cid, W=args.W if cid != 12 else 0,
+                              R=args.R, T=0 if cid == 12 else None,
+                              strict=False)
+        try:
+            blob = codec.encode(img, p)
+            ok = bool((codec.decode(blob) == img).all())
+            rows.append((f"codec {cid} ({label})", len(blob), ok))
+        except Exception as e:  # pragma: no cover
+            rows.append((f"codec {cid} ({label})", None, str(e)[:40]))
+    w = max(len(r[0]) for r in rows)
+    for name, size, ok in rows:
+        pct = f"{100.0 * size / raw:6.1f}%" if size else "   n/a"
+        tail = "" if ok in (None, True) else f"  [{ok}]"
+        print(f"{name:<{w}}  {size or 0:>8}B  {pct}{tail}")
+
+
 def cmd_archive(args):
     from .models import archive, codec
     from .utils import pnm
@@ -266,6 +291,12 @@ def main(argv=None):
     p.add_argument("prefix")
     p.add_argument("output")
     p.set_defaults(fn=cmd_planes2pgm)
+
+    p = sub.add_parser("compare", help="size comparison across codecs")
+    p.add_argument("input")
+    p.add_argument("-W", type=int, default=16)
+    p.add_argument("-R", type=int, default=128)
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("archive", help="many PBMs -> one .bica corpus")
     p.add_argument("inputs", nargs="+")
