@@ -44,7 +44,11 @@ def cmd_compress(args):
     params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
                                R=args.R, strict=args.mode == "strict")
     ext = os.path.splitext(args.input)[1].lower()
-    if ext in (".pgm", ".pnm"):
+    if ext == ".ppm":
+        rgb, maxval = pnm.read_pnm(args.input)
+        blob = codec.encode_ppm(rgb, maxval)
+        raw = rgb.size * 3
+    elif ext in (".pgm", ".pnm"):
         gray, maxval = pnm.read_pnm(args.input)
         blob = codec.encode_pgm(gray, maxval, params)
         raw = gray.size * (2 if maxval > 255 else 1)
@@ -72,7 +76,10 @@ def cmd_decompress(args):
     from .models import codec
     from .utils import pnm
     blob = open(args.input, "rb").read()
-    if blob[:4] == codec.PGM_MAGIC:
+    if blob[:4] == codec.PPM_MAGIC:
+        rgb, maxval = codec.decode_ppm(blob)
+        pnm.write_ppm(rgb, maxval, args.output)
+    elif blob[:4] == codec.PGM_MAGIC:
         gray, maxval = codec.decode_pgm(blob)
         pnm.write_pgm(gray, maxval, args.output)
     else:

@@ -774,3 +774,42 @@ def _decode_cabic(blob_body: bytes, rows: int, cols: int) -> np.ndarray:
                 u8[r, c] = bit
         out = u8.astype(bool)
     return out
+
+
+# ---------------------------------------------------------------------------
+# color (PPM) container: per-channel BICG streams
+# ---------------------------------------------------------------------------
+
+PPM_MAGIC = b"BICC"
+
+
+def encode_ppm(rgb_packed: np.ndarray, maxval: int,
+               params: CodecParams | None = None) -> bytes:
+    """Color codec: 0xRRGGBB-packed uint32 [rows, cols] (the reference's
+    pixel_t layout, pnm.cpp:214) -> three per-channel bitplane streams."""
+    img = np.asarray(rgb_packed, dtype=np.uint32)
+    chans = [(img >> 16) & 0xFF, (img >> 8) & 0xFF, img & 0xFF]
+    blobs = [encode_pgm(c, maxval, params) for c in chans]
+    out = bytearray(PPM_MAGIC)
+    out += struct.pack("<H", maxval)
+    for b in blobs:
+        out += struct.pack("<I", len(b))
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def decode_ppm(blob: bytes) -> tuple[np.ndarray, int]:
+    if blob[:4] != PPM_MAGIC:
+        raise ValueError("not a BICC stream")
+    (maxval,) = struct.unpack("<H", blob[4:6])
+    lens = struct.unpack("<3I", blob[6:18])
+    off = 18
+    chans = []
+    for ln in lens:
+        g, _ = decode_pgm(blob[off:off + ln])
+        chans.append(g)
+        off += ln
+    r, g, b = chans
+    return (r.astype(np.uint32) << 16) | (g.astype(np.uint32) << 8) \
+        | b.astype(np.uint32), maxval

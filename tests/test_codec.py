@@ -145,3 +145,14 @@ def test_cabic_python_twin_matches_native():
     finally:
         nat.cabic_decode = real
     np.testing.assert_array_equal(out, img)
+
+
+def test_ppm_color_roundtrip(rng):
+    y, x = np.mgrid[0:32, 0:40]
+    rgb = ((((y + x) % 256).astype(np.uint32) << 16)
+           | ((x % 256).astype(np.uint32) << 8)
+           | (rng.randint(0, 256, (32, 40)).astype(np.uint32)))
+    blob = codec.encode_ppm(rgb, 255)
+    back, mv = codec.decode_ppm(blob)
+    np.testing.assert_array_equal(back, rgb)
+    assert mv == 255
