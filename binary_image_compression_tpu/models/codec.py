@@ -203,10 +203,17 @@ def _header(params, rows, cols, crc: int = 0) -> bytes:
                                params.R)
 
 
-def _encode_windowed(img, params) -> bytes:
+def _encode_windowed(img, params, use_native: bool = True) -> bytes:
     W, R = params.W, params.R
     T = params.resolved_T()
     codec = params.codec
+    if use_native:
+        from .. import native
+        hdr = _header(params, *img.shape, image_crc(img))
+        blob = native.encode_windowed(np.asarray(img, np.uint8), hdr,
+                                      codec, params.strict, W, T, R)
+        if blob is not None:
+            return blob
     invert = codec == 8
     use_pred = codec in (7, 8)
     rows, cols = img.shape

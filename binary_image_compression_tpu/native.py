@@ -60,6 +60,12 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
     lib.bic_enum_nbits.restype = ctypes.c_int
     lib.bic_enum_nbits.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.bic_encode_windowed.restype = ctypes.c_long
+    lib.bic_encode_windowed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
     lib.bic_cabic_encode.restype = ctypes.c_long
     lib.bic_cabic_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -145,3 +151,21 @@ def cabic_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
     if rc != 0:
         return None
     return out.reshape(rows, cols).astype(bool)
+
+
+def encode_windowed(img: np.ndarray, header: bytes, codec_id: int,
+                    strict: bool, W: int, T: int, R: int) -> bytes | None:
+    """Full native encoder for codecs 4/6/7/8 (both modes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    rows, cols = img.shape
+    cap = rows * cols + 65536
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.bic_encode_windowed(_p(img, ctypes.c_uint8), header, len(header),
+                                codec_id, int(strict), W, rows, cols, T, R,
+                                _p(out, ctypes.c_uint8), cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()

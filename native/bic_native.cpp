@@ -538,3 +538,196 @@ int bic_cabic_decode(const uint8_t* blob, long blob_len, int rows, int cols,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// full windowed encoder (codecs 4/6/7/8, strict + causal modes)
+// ===========================================================================
+// The complete encoder in native code: packed-uint64 XOR/popcount candidate
+// search with the reference's early-exit semantics, MED prediction, 4-way
+// mode decision against the two adaptive Golomb contexts, and tile-record
+// packing.  Byte-identical to models/codec._encode_windowed (tests).
+
+namespace {
+
+struct PackedGrid {
+  // row-major bit rows, 64-bit words, MSB-first within word
+  std::vector<uint64_t> words;
+  long gw64;  // words per row
+  long gh, gw;
+  void init(long h, long wpx) {
+    gh = h; gw = wpx;
+    gw64 = (wpx + 63) / 64;
+    words.assign(h * gw64, 0);
+  }
+  void set_row_bits(long r, const uint8_t* bits, long n) {
+    uint64_t* row = &words[r * gw64];
+    for (long j = 0; j < gw64; ++j) row[j] = 0;
+    for (long j = 0; j < n; ++j)
+      if (bits[j]) row[j >> 6] |= (0x8000000000000000ULL >> (j & 63));
+  }
+  // extract W<=64 bits of row r starting at column c, left-aligned
+  inline uint64_t get_bits(long r, long c, int W) const {
+    const uint64_t* row = &words[r * gw64];
+    long w0 = c >> 6;
+    int off = (int)(c & 63);
+    uint64_t v = row[w0] << off;
+    if (off && w0 + 1 < gw64) v |= row[w0 + 1] >> (64 - off);
+    uint64_t mask = (W == 64) ? ~0ULL : (~0ULL << (64 - W));
+    return v & mask;
+  }
+};
+
+static void med_tile(const uint8_t* p, uint8_t* r, int W) {
+  for (int i = 0; i < W; ++i)
+    for (int j = 0; j < W; ++j) {
+      uint8_t up = i ? p[(i - 1) * W + j] : 0;
+      uint8_t left = j ? p[i * W + j - 1] : 0;
+      uint8_t ul = (i && j) ? p[(i - 1) * W + j - 1] : 0;
+      r[i * W + j] = p[i * W + j] ^ up ^ left ^ ul;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
+                         long header_len, int codec_id, int strict, int W,
+                         uint32_t rows, uint32_t cols, uint32_t T, uint32_t R,
+                         uint8_t* out, long out_cap) {
+  const int ny = (rows + W - 1) / W, nx = (cols + W - 1) / W;
+  const int M = W * W;
+  const long gh = (long)ny * W, gw = (long)nx * W;
+  const bool invert = codec_id == 8;
+  const bool use_pred = codec_id == 7 || codec_id == 8;
+
+  // byte grids: orig + (strict) work
+  std::vector<uint8_t> orig(gh * gw, 0);
+  for (uint32_t r = 0; r < rows; ++r)
+    for (uint32_t c = 0; c < cols; ++c)
+      orig[(long)r * gw + c] = img[(long)r * cols + c];
+  std::vector<uint8_t> workb = orig;
+  std::vector<uint8_t>& refb = strict ? workb : orig;
+
+  PackedGrid pg;
+  pg.init(gh, gw);
+  {
+    std::vector<uint8_t> rowbits(gw);
+    for (long r = 0; r < gh; ++r)
+      pg.set_row_bits(r, &refb[r * gw], gw);
+  }
+
+  std::memset(out, 0, out_cap);
+  std::memcpy(out, header, header_len);
+  Writer wtr(out, out_cap);
+  wtr.bitpos = header_len * 8;
+  Golomb gm, gn;
+  std::vector<uint8_t> P(M), P2(M), Pm(M), P3(M), dP3(M), dP(M);
+
+  for (int ti = 0; ti < ny; ++ti) {
+    for (int tj = 0; tj < nx; ++tj) {
+      const int i0 = ti * W, j0 = tj * W;
+      for (int a = 0; a < W; ++a)
+        std::memcpy(&P[a * W], &refb[(long)(i0 + a) * gw + j0], W);
+      // packed tile rows for fast dist
+      uint64_t prow[64];
+      for (int a = 0; a < W; ++a) prow[a] = pg.get_bits(i0 + a, j0, W);
+
+      Geom g = geom(i0, j0, W, (int)R, (int)rows, (int)cols);
+      long ncands = geom_count(g);
+      long best = -1, rank = 0;
+      int bestd = M + 1;
+      bool bestinv = false;
+      // serial scan with early exit (reference semantics, defined inv)
+      for (long rk = 0; rk < ncands; ++rk) {
+        int y, x;
+        geom_at(g, rk, &y, &x);
+        int d = 0;
+        for (int a = 0; a < W; ++a)
+          d += __builtin_popcountll(prow[a] ^ pg.get_bits(y + a, x, W));
+        bool inv = false;
+        if (invert && (M - d) < d) { inv = true; d = M - d; }
+        if (d < bestd) {
+          best = rk; bestd = d; bestinv = inv;
+          if (bestd <= (int)T) break;
+        }
+      }
+      int il = idx_len_for(ncands);
+
+      // candidate residuals + weights
+      long w_m_np = -1, w_m_p = -1;
+      if (best >= 0) {
+        int y, x;
+        geom_at(g, best, &y, &x);
+        for (int a = 0; a < W; ++a)
+          for (int b = 0; b < W; ++b) {
+            uint8_t pv = P[a * W + b];
+            if (bestinv) pv ^= 1;
+            P3[a * W + b] = pv ^ refb[(long)(y + a) * gw + (x + b)];
+          }
+        w_m_np = 0;
+        for (int i = 0; i < M; ++i) w_m_np += P3[i];
+        if (use_pred) {
+          med_tile(P3.data(), dP3.data(), W);
+          w_m_p = 0;
+          for (int i = 0; i < M; ++i) w_m_p += dP3[i];
+        }
+      }
+      long w_n_np = 0;
+      for (int i = 0; i < M; ++i) w_n_np += P[i];
+      long w_n_p = -1;
+      if (use_pred) {
+        med_tile(P.data(), dP.data(), W);
+        w_n_p = 0;
+        for (int i = 0; i < M; ++i) w_n_p += dP[i];
+      }
+
+      // 4-way decision, same arithmetic as models/codec._encode_windowed
+      const long BIG = 1L << 40;
+      long mcost = invert ? 3 : 2;
+      long ncost = use_pred ? 2 : 1;
+      auto gk = [](const Golomb& gg, long u) {
+        return (long)gg.k + (u >> gg.k) + 1; };
+      long costs[4] = {
+          best >= 0 ? mcost + il + gk(gm, w_m_np) + enum_nbits(M, (int)w_m_np)
+                    : BIG,
+          (best >= 0 && use_pred)
+              ? mcost + il + gk(gm, w_m_p) + enum_nbits(M, (int)w_m_p) : BIG,
+          ncost + gk(gn, w_n_np) + enum_nbits(M, (int)w_n_np),
+          use_pred ? ncost + gk(gn, w_n_p) + enum_nbits(M, (int)w_n_p) : BIG};
+      int mode = 0;
+      for (int m = 1; m < 4; ++m)
+        if (costs[m] < costs[mode]) mode = m;
+
+      const uint8_t* res = mode == 0 ? P3.data()
+                        : mode == 1 ? dP3.data()
+                        : mode == 2 ? P.data() : dP.data();
+      long wt = mode == 0 ? w_m_np : mode == 1 ? w_m_p
+              : mode == 2 ? w_n_np : w_n_p;
+      if (mode < 2) {
+        wtr.put_bit(1);
+        if (use_pred) wtr.put_bit(mode & 1);
+        if (invert) wtr.put_bit(bestinv ? 1 : 0);
+        wtr.put_bits((uint64_t)best, il);
+        gm.encode(wtr, (uint32_t)wt);
+      } else {
+        wtr.put_bit(0);
+        if (use_pred) wtr.put_bit(mode & 1);
+        gn.encode(wtr, (uint32_t)wt);
+      }
+      Big rb = enum_rank(res, M, (int)wt);
+      wtr.put_big(rb, enum_nbits(M, (int)wt));
+      if (wtr.overflow) return -1;
+
+      if (strict) {
+        for (int a = 0; a < W; ++a) {
+          std::memcpy(&workb[(long)(i0 + a) * gw + j0], &res[a * W], W);
+          pg.set_row_bits(i0 + a, &workb[(long)(i0 + a) * gw], gw);
+        }
+      }
+    }
+  }
+  return (wtr.bitpos + 7) / 8;
+}
+
+}  // extern "C"

@@ -53,3 +53,13 @@ def test_native_decode_rejects_truncated():
     img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
     blob = codec.encode(img, codec.CodecParams(codec=8, W=8, R=32))
     assert native.decode_windowed(blob[:40], 64, 64) is None
+
+
+@pytest.mark.parametrize("cid,strict", [(4, True), (6, False), (7, True),
+                                        (8, True), (8, False)])
+def test_native_encoder_matches_python(cid, strict):
+    from binary_image_compression_tpu.models.codec import _encode_windowed
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    p = codec.CodecParams(codec=cid, W=8, R=32, strict=strict)
+    assert _encode_windowed(img, p, use_native=True) == \
+        _encode_windowed(img, p, use_native=False)
