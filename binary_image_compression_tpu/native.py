@@ -39,6 +39,15 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    override = os.environ.get("BIC_NATIVE_LIB")
+    if override:
+        try:
+            lib = ctypes.CDLL(override)
+            _declare(lib)
+            _lib = lib
+            return _lib
+        except OSError:
+            return None
     if not os.path.exists(_LIB) or (
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
@@ -48,6 +57,12 @@ def get_lib():
         lib = ctypes.CDLL(_LIB)
     except OSError:
         return None
+    _declare(lib)
+    _lib = lib
+    return _lib
+
+
+def _declare(lib):
     lib.bic_pack_tiles.restype = ctypes.c_long
     lib.bic_pack_tiles.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
@@ -78,8 +93,6 @@ def get_lib():
     lib.bic_enum_roundtrip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
-    _lib = lib
-    return _lib
 
 
 def _p(arr, ctype):

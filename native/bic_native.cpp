@@ -283,13 +283,16 @@ static long geom_count(const Geom& g) { return g.n1 * g.c1 + g.n2 * g.c2; }
 
 static void geom_at(const Geom& g, long rank, int* y, int* x) {
   long s1 = g.n1 * g.c1;
-  if (rank < s1) {
+  if (g.c1 > 0 && rank < s1) {
     *y = g.i0 - (int)(rank / g.c1);
     *x = g.maxj2 - (int)(rank % g.c1);
-  } else {
+  } else if (g.c2 > 0) {
     rank -= s1;
     *y = g.yhi - (int)(rank / g.c2);
     *x = g.maxj - (int)(rank % g.c2);
+  } else {  // corrupt stream: match record with an empty window
+    *y = 0;
+    *x = 0;
   }
 }
 
@@ -375,8 +378,11 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
       Geom g = geom(i0, j0, W, (int)R, (int)rows, (int)cols);
       if (match) {
         if (invert) inv = r.get_bit();
-        int il = idx_len_for(geom_count(g));
+        long nc = geom_count(g);
+        if (nc == 0) return -3;  // corrupt: match with no candidates
+        int il = idx_len_for(nc);
         rank = (long)r.get_bits(il);
+        if (rank >= nc) rank = nc - 1;  // corrupt index: clamp
       }
       uint32_t wt = match ? gm.decode(r) : gn.decode(r);
       int nb = enum_nbits(M, (int)wt);
