@@ -25,7 +25,7 @@ import numpy as np
 
 
 def _add_codec_opts(p):
-    p.add_argument("--codec", type=int, default=8,
+    p.add_argument("--codec", default="8",
                    help="2/3 dict, 4/6/7/8 windowed, 10 med+rle, 11 bsvd, "
                         "12 cabic/arithmetic — best ratio (default 8)")
     p.add_argument("-W", type=int, default=16, help="tile width")
@@ -41,6 +41,9 @@ def _add_codec_opts(p):
 def cmd_compress(args):
     from .models import codec, compress
     from .utils import pnm
+    if args.codec == "auto":
+        return _compress_auto(args)
+    args.codec = int(args.codec)
     params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
                                R=args.R, strict=args.mode == "strict")
     ext = os.path.splitext(args.input)[1].lower()
@@ -70,6 +73,22 @@ def cmd_compress(args):
         f.write(blob)
     print(f"{args.input}: {raw}B raw -> {len(blob)}B "
           f"({100.0 * len(blob) / raw:.2f}%)")
+
+
+def _compress_auto(args):
+    """--codec auto: race the windowed and arithmetic codecs, keep smaller."""
+    from .models import codec
+    from .utils import pnm
+    img = pnm.read_pbm(args.input)
+    cands = [codec.CodecParams(codec=12, W=0, T=0, R=0),
+             codec.CodecParams(codec=8, W=args.W, R=args.R,
+                               strict=args.mode == "strict")]
+    best = min((codec.encode(img, p) for p in cands), key=len)
+    with open(args.output, "wb") as f:
+        f.write(best)
+    raw = img.size // 8
+    print(f"{args.input}: {raw}B raw -> {len(best)}B "
+          f"({100.0 * len(best) / raw:.2f}%, codec {best[8]})")
 
 
 def cmd_decompress(args):
