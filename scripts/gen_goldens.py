@@ -174,6 +174,12 @@ def main():
         ("bsvd_img_seed7", ["-w", "8", "-k", "16", "-I", "1", "-r", "7",
                             "-i", "0", "-c", "0", "-d", "0", "-l", "0"],
          "text64.pbm"),
+        ("bsvd_img_graphgrow", ["-w", "8", "-k", "8", "-I", "1",
+                                "-i", "4", "-c", "0", "-d", "0", "-l", "0"],
+         "text64.pbm"),
+        ("bsvd_img_alter3_prox", ["-w", "8", "-k", "8", "-I", "1",
+                                  "-i", "0", "-c", "0", "-d", "1", "-l", "3"],
+         "text64.pbm"),
     ]
     for name, args, image in bsvd_runs:
         wd = f"{REFBUILD}/run_{name}"

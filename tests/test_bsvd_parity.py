@@ -35,6 +35,10 @@ RUNS = [
      dict(W=8, K=8, image_mode=True, mi=0, cu=0, du=0, lm=2)),
     ("bsvd_img_seed7", "text64.pbm",
      dict(W=8, K=16, image_mode=True, mi=0, cu=0, du=0, lm=0, seed=7)),
+    ("bsvd_img_graphgrow", "text64.pbm",
+     dict(W=8, K=8, image_mode=True, mi=4, cu=0, du=0, lm=0)),
+    ("bsvd_img_alter3_prox", "text64.pbm",
+     dict(W=8, K=8, image_mode=True, mi=0, cu=0, du=1, lm=3)),
 ]
 
 
