@@ -23,7 +23,6 @@ integers, negligible next to the device search).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -34,8 +33,7 @@ from jax import lax
 from ..ops import bitpack, search
 from ..ops.bitstream import BitWriter, enum_encode, enum_nbits, golomb_encode
 from ..ops.entropy import GolombCoder
-from .codec import (MAGIC, CodecParams, _header, decode,  # shared
-                    image_crc)
+from .codec import CodecParams, _header, image_crc
 
 
 def _med_tiles(P):

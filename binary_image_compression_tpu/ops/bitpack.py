@@ -20,8 +20,6 @@ Reference defects intentionally fixed here (SURVEY.md §2.1):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

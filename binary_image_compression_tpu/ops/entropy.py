@@ -29,7 +29,7 @@ same formula (see scripts/build_reference.sh), so parity is exact.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ Kernels fall back to interpret mode off-TPU (tests run on CPU).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

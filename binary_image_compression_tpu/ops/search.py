@@ -22,8 +22,6 @@ Window geometry (compress4..8, compress4_test.cpp:96-135):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -10,13 +10,11 @@ produces a bitstream at all, SURVEY.md intro).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 from jax import shard_map
 
 
