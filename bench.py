@@ -74,25 +74,29 @@ def main():
     t_cabic = (time.time() - t0) / 5
     cabic_bytes = len(b12)
 
-    # warm up (jit compile) under a watchdog
+    ref_s = reference_seconds(FIXTURE)
+    result = {
+        "metric": "flagship lossless encode+decode (bit-exact 512x512 PBM "
+                  "round-trip, codec 12 context-adaptive arithmetic)",
+        "value": round(mp / t_cabic, 3),
+        "unit": "megapixels/s/chip",
+        "vs_baseline": round(ref_s / t_cabic, 3) if ref_s else None,
+        "compressed_bytes": cabic_bytes,
+        "raw_bytes": rows * cols // 8,
+        "reference_estimator_s": round(ref_s, 3) if ref_s else None,
+        "backend": jax.devices()[0].platform,
+    }
+
+    # secondary: the TPU windowed codec-8 pipeline, under a compile watchdog
+    # (remote-compile latency varies 19s..480s with service load)
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "450")))
+    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
     try:
         blob = compress.encode(img, params)
         signal.alarm(0)
     except _CompileTimeout:
-        ref_s = reference_seconds(FIXTURE)
-        print(json.dumps({
-            "metric": "codec12 encode+decode throughput (bit-exact PBM "
-                      "round-trip, 512x512 doc page; TPU codec-8 path "
-                      "skipped: remote-compile stall)",
-            "value": round(mp / t_cabic, 3),
-            "unit": "megapixels/s/chip",
-            "vs_baseline": round(ref_s / t_cabic, 3) if ref_s else None,
-            "compressed_bytes": cabic_bytes,
-            "raw_bytes": rows * cols // 8,
-            "backend": jax.devices()[0].platform,
-        }))
+        result["codec8_tpu"] = "skipped: remote-compile stall"
+        print(json.dumps(result))
         return
     back = codec.decode(blob)
     assert (back == img).all(), "round-trip not bit-exact"
@@ -134,27 +138,16 @@ def main():
     assert all((o == pg).all() for o, pg in zip(outs, pages))
 
     total = t_enc + t_dec
-    ref_s = reference_seconds(FIXTURE)
-    out = {
-        "metric": "codec8 encode+decode throughput (bit-exact PBM round-trip,"
-                  " 512x512 doc page)",
-        "value": round(mp / total, 4),
-        "unit": "megapixels/s/chip",
-        "vs_baseline": round(ref_s / total, 3) if ref_s else None,
-        "encode_s": round(t_enc, 4),
-        "decode_s": round(t_dec, 4),
-        "device_analysis_s": round(t_dev, 4),
-        "device_analysis_mps": round(mp / t_dev, 2),
-        "compressed_bytes": len(blob),
-        "raw_bytes": rows * cols // 8,
-        "reference_estimator_s": round(ref_s, 3) if ref_s else None,
-        "batch8_mps": round(B * mp / (t_batch + t_batch_dec), 3),
-        "batch8_encode_s_per_page": round(t_batch / B, 4),
-        "cabic_bytes": cabic_bytes,
-        "cabic_mps": round(mp / t_cabic, 2) if t_cabic else None,
-        "backend": jax.devices()[0].platform,
-    }
-    print(json.dumps(out))
+    result.update({
+        "codec8_tpu_mps": round(mp / total, 4),
+        "codec8_vs_baseline": round(ref_s / total, 3) if ref_s else None,
+        "codec8_encode_s": round(t_enc, 4),
+        "codec8_decode_s": round(t_dec, 4),
+        "codec8_device_analysis_s": round(t_dev, 4),
+        "codec8_compressed_bytes": len(blob),
+        "codec8_batch8_mps": round(B * mp / (t_batch + t_batch_dec), 3),
+    })
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
