@@ -49,7 +49,11 @@ def cmd_compress(args):
     ext = os.path.splitext(args.input)[1].lower()
     if ext == ".ppm":
         rgb, maxval = pnm.read_pnm(args.input)
-        blob = codec.encode_ppm(rgb, maxval)
+        # honor the user's codec flags for color input too; a bare
+        # `bic compress in.ppm out.bic` keeps per-plane auto-selection
+        explicit = (args.codec != "8" or args.W != 16 or args.T is not None
+                    or args.R != 128 or args.mode != "causal")
+        blob = codec.encode_ppm(rgb, maxval, params if explicit else None)
         raw = rgb.size * 3
     elif ext in (".pgm", ".pnm"):
         gray, maxval = pnm.read_pnm(args.input)

@@ -177,6 +177,12 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
     if params.codec not in VALID_CODECS:
         raise ValueError(f"unknown codec id {params.codec}; "
                          f"valid: {VALID_CODECS}")
+    if params.codec in (2, 3, 4, 6, 7, 8, 11) and not 1 <= params.W <= 64:
+        # the native packed-row search holds one tile row per uint64
+        # (native/bic_native.cpp PackedGrid::get_bits); W > 64 would smash
+        # its stack and W = 0 divides by zero — reject at the API boundary
+        raise ValueError(f"tile width W={params.W} out of range [1, 64] "
+                         f"for codec {params.codec}")
     img = np.asarray(img, dtype=bool)
     if params.codec == 10:
         return _encode_medrle(img)
@@ -245,7 +251,9 @@ def _encode_windowed(img, params, use_native: bool = True) -> bytes:
                 Pm = (1 - P) if inv else P
                 P3 = Pm ^ P2
                 wm_np = int(P3.sum())
-                cost = 3 if invert else 2
+                # match-record header bits actually written below:
+                # match + (pred if use_pred) + (inv if invert)
+                cost = 1 + (1 if use_pred else 0) + (1 if invert else 0)
                 options.append(("m", False, P3, wm_np,
                                 cost + idx_len + _gcost(gm, wm_np)
                                 + enum_nbits(M, wm_np)))
@@ -302,8 +310,15 @@ def decode(blob: bytes, *, use_native: bool = True,
         raise ValueError("not a BIC1 stream")
     crc, codec, flags, W, rows, cols, T, R = struct.unpack(
         "<IBBHIIII", blob[4:HEADER_LEN])
-    if rows * cols > 2 ** 34:
+    # header fields come from an untrusted stream: validate BEFORE any
+    # decoder (native or Python) divides by W or sizes buffers from it
+    if codec not in VALID_CODECS:
+        raise ValueError(f"corrupt BIC1 header: unknown codec id {codec}")
+    if rows == 0 or cols == 0 or rows * cols > 2 ** 34:
         raise ValueError(f"implausible dimensions {rows}x{cols}")
+    if codec in (2, 3, 4, 6, 7, 8, 11) and not 1 <= W <= 64:
+        raise ValueError(f"corrupt BIC1 header: W={W} out of range [1, 64] "
+                         f"for codec {codec}")
     out = None
     if codec in (4, 6, 7, 8) and use_native:
         from .. import native
@@ -313,7 +328,7 @@ def decode(blob: bytes, *, use_native: bool = True,
         if codec == 12:
             out = _decode_cabic(blob[HEADER_LEN:], rows, cols)
         elif codec == 10:
-            out = _decode_medrle(r, rows, cols)
+            out = _decode_medrle_payload(blob[HEADER_LEN:], rows, cols)
         elif codec == 11:
             out = _decode_bsvd(r, W, rows, cols)
         elif codec in (2, 3):
@@ -481,36 +496,59 @@ def _decode_dict(r, codec, W, rows, cols, T):
 # codec 10: full-image MED + adaptive run-length (bitplane workhorse)
 # ---------------------------------------------------------------------------
 
-def _encode_medrle(img: np.ndarray) -> bytes:
-    rows, cols = img.shape
-    params = CodecParams(codec=10, W=0, T=0, R=0)
-    w = BitWriter()
-    hdr = _header(params, rows, cols, image_crc(img))
-    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
-    res = _med(np.asarray(img, dtype=np.uint8))
-    flat = res.ravel()
+def _medrle_runs(img: np.ndarray, residual: np.ndarray | None = None
+                 ) -> np.ndarray:
+    """Zero-run lengths of the MED residual in raster order (incl. the
+    trailing run when nonempty) — the codec-10 symbol stream."""
+    if residual is None:
+        residual = _med(np.asarray(img, dtype=np.uint8))
+    flat = residual.ravel()
     ones = np.flatnonzero(flat)
     gaps = np.diff(np.concatenate([[-1], ones])) - 1
     trailing = flat.size - (int(ones[-1]) + 1) if ones.size else flat.size
-    eg = _EGStream(w)
-    for g in gaps:
-        eg.encode_run(int(g))
     if trailing > 0:  # decoder stops on pixel count; zero tail needs no run
-        eg.encode_run(int(trailing))
+        gaps = np.concatenate([gaps, [trailing]])
+    return gaps.astype(np.int64)
+
+
+def _encode_medrle(img: np.ndarray,
+                   residual: np.ndarray | None = None) -> bytes:
+    """MED + adaptive run-length (codec 10).  The MED residual is vectorized
+    numpy (or device-computed and passed in by the TPU bitplane pipeline,
+    compress.encode_pgm_tpu); the run loop is native C++ with a Python
+    fallback."""
+    rows, cols = img.shape
+    params = CodecParams(codec=10, W=0, T=0, R=0)
+    hdr = _header(params, rows, cols, image_crc(img))
+    runs = _medrle_runs(img, residual)
+    from .. import native
+    payload = native.eg_encode_runs(runs)
+    if payload is not None:
+        return hdr + payload
+    w = BitWriter()
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    eg = _EGStream(w)
+    for g in runs:
+        eg.encode_run(int(g))
     return w.getvalue()
 
 
-def _decode_medrle(r: BitReader, rows: int, cols: int) -> np.ndarray:
+def _decode_medrle_payload(payload: bytes, rows: int, cols: int
+                           ) -> np.ndarray:
     n = rows * cols
-    flat = np.zeros(n, dtype=np.uint8)
-    eg = _EGStream(None, reader=r)
-    pos = 0
-    while pos < n:
-        run = eg.decode_run(n - pos)
-        pos += run
-        if pos < n:
-            flat[pos] = 1
-            pos += 1
+    from .. import native
+    flat = native.eg_decode_runs(payload, n)
+    if flat is None:
+        r = BitReader(payload)
+        flat = np.zeros(n, dtype=np.uint8)
+        eg = _EGStream(None, reader=r)
+        pos = 0
+        while pos < n:
+            run = eg.decode_run(n - pos)
+            pos += run
+            if pos < n:
+                flat[pos] = 1
+                pos += 1
     return _unmed(flat.reshape(rows, cols).astype(bool))
 
 

@@ -45,26 +45,36 @@ def _med_tiles(P):
 
 
 @partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols",
-                                   "invert"))
+                                   "invert", "variant"))
 def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
-                   rows: int, cols: int, invert: bool = True):
+                   rows: int, cols: int, invert: bool = True,
+                   variant: str = "banded"):
     """Device-side encoder analysis for codecs 4/7/8 (causal-original mode).
     invert=False disables the complement trick (codecs 4/7).
 
     img_bits: bool/int [ny*W, nx*W] (zero-padded tile grid).
     Returns per-tile arrays: mode (0=m/nonpred 1=m/pred 2=n/nonpred
     3=n/pred), rank, n_cands, inv, weight, k_used, residual packed uint32.
+
+    variant selects the distance-map kernel (both numerically identical,
+    tests/test_compress_tpu.py):
+      * "banded" (default): row-band MXU contractions over the W^2 patch
+        dimension via lax.scan (search.window_distance_maps_banded) — the
+        genuinely-MXU form of the reference's dist() hot loop
+        (compress8_test.cpp:152-198);
+      * "conv": per-tile grouped convolution (depthwise, VPU-bound) — the
+        round-1 fallback, kept for A/B benchmarking.
     """
     M = W * W
     i0, j0, ny, nx = search.tile_origins(rows, cols, W)
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
-    # NOTE: the _mxu cross-product variant is numerically identical but
-    # its XLA graph compiles pathologically slowly through the axon
-    # remote-compile tunnel (>10min for 512x512); revisit with a local
-    # toolchain / Pallas kernel.  The grouped conv compiles in ~60s.
-    d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
+    if variant == "banded":
+        d, oy, ox = search.window_distance_maps_banded(img, i0, j0, W, R,
+                                                       ny, nx)
+    else:
+        d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
     key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R, cols, rows,
                                   decodable=True)
     key = jnp.minimum(key1, key2)
@@ -126,7 +136,8 @@ def _decide_modes(out, M, codec_id=8):
     codec 8: 4 modes (+inv bit); codec 7: 4 modes; codec 4/6: 2 modes."""
     from ..ops.entropy import GolombCoder
     use_pred = codec_id in (7, 8)
-    mcost = 3 if codec_id == 8 else 2
+    # actual record-header bits: match + (pred if use_pred) + (inv if codec 8)
+    mcost = 1 + (1 if use_pred else 0) + (1 if codec_id == 8 else 0)
     ncost = 2 if use_pred else 1
     T = out["weights4"].shape[0]
     enb = np.array([enum_nbits(M, w) for w in range(M + 1)], dtype=np.int64)
@@ -181,20 +192,19 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
 
 
 def _assemble(out, hdr, M, T, codec_id=8):
+    # fast path: fused native mode-decision + pack (one call per page)
+    from .. import native
+    blob = native.decide_pack(hdr, M, codec_id, out["weights4"],
+                              out["has_cands"], out["idx_len"], out["inv"],
+                              out["rank"], out["residual4"])
+    if blob is not None:
+        return blob
+
+    # pure-Python fallback (no toolchain): replay the decision, pack records
     mode, weight, k_used = _decide_modes(out, M, codec_id)
     res_bits4 = bitpack.np_unpack(out["residual4"], M)     # [T, 4, M]
     res_bits = res_bits4[np.arange(T), mode]
     use_pred = codec_id in (7, 8)
-
-    from .. import native
-    if codec_id == 8:
-        inv_arr = np.where(mode < 2, out["inv"], False)
-        blob = native.pack_tiles(hdr, M, mode, inv_arr,
-                                 out["rank"].astype(np.int64),
-                                 np.where(mode < 2, out["idx_len"], 0),
-                                 weight, res_bits.astype(np.uint8))
-        if blob is not None:
-            return blob
 
     wtr = BitWriter()
     wtr.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)

@@ -70,6 +70,15 @@ def _declare(lib):
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bic_decide_pack.restype = ctypes.c_long
+    lib.bic_decide_pack.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32)]
     lib.bic_decode_windowed.restype = ctypes.c_int
     lib.bic_decode_windowed.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)]
@@ -92,6 +101,14 @@ def _declare(lib):
     lib.bic_enum_roundtrip.restype = ctypes.c_long
     lib.bic_enum_roundtrip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.bic_eg_encode_runs.restype = ctypes.c_long
+    lib.bic_eg_encode_runs.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bic_eg_decode_runs.restype = ctypes.c_int
+    lib.bic_eg_decode_runs.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8)]
 
 
@@ -122,6 +139,35 @@ def pack_tiles(header: bytes, M: int, mode, inv, rank, idx_len, weight,
                             _p(weight, ctypes.c_int32),
                             _p(res, ctypes.c_uint8),
                             _p(out, ctypes.c_uint8), cap)
+    if ln < 0:
+        return None
+    return out[:ln].tobytes()
+
+
+def decide_pack(header: bytes, M: int, codec_id: int, weights4, has_cands,
+                idx_len, inv, rank, residual4_packed) -> bytes | None:
+    """Fused encoder tail: mode decision + record packing in one call.
+
+    Arrays are the encode_analyze outputs; residual4_packed is the packed
+    uint32 [T, 4, nwords] residual bank.  Returns the stream or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w4 = np.ascontiguousarray(weights4, dtype=np.int32)
+    n = w4.shape[0]
+    hc = np.ascontiguousarray(has_cands, dtype=np.uint8)
+    il = np.ascontiguousarray(idx_len, dtype=np.int32)
+    iv = np.ascontiguousarray(inv, dtype=np.uint8)
+    rk = np.ascontiguousarray(rank, dtype=np.int64)
+    r4 = np.ascontiguousarray(residual4_packed, dtype=np.uint32)
+    nwords = r4.shape[-1]
+    cap = len(header) + n * (M // 2 + 64) + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    ln = lib.bic_decide_pack(header, len(header), n, M, codec_id,
+                             _p(w4, ctypes.c_int32), _p(hc, ctypes.c_uint8),
+                             _p(il, ctypes.c_int32), _p(iv, ctypes.c_uint8),
+                             _p(rk, ctypes.c_int64), _p(r4, ctypes.c_uint32),
+                             nwords, _p(out, ctypes.c_uint8), cap, None)
     if ln < 0:
         return None
     return out[:ln].tobytes()
@@ -164,6 +210,34 @@ def cabic_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
     if rc != 0:
         return None
     return out.reshape(rows, cols).astype(bool)
+
+
+def eg_encode_runs(runs: np.ndarray) -> bytes | None:
+    """EG/MELCODE run-length payload for codec 10 (byte-aligned)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    runs = np.ascontiguousarray(runs, dtype=np.int64)
+    cap = int(runs.sum()) // 4 + 8 * len(runs) + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.bic_eg_encode_runs(_p(runs, ctypes.c_int64), len(runs),
+                               _p(out, ctypes.c_uint8), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def eg_decode_runs(payload: bytes, n_pixels: int) -> np.ndarray | None:
+    """Decode codec-10 run payload to the flat 0/1 residual plane."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(n_pixels, dtype=np.uint8)
+    rc = lib.bic_eg_decode_runs(payload, len(payload), n_pixels,
+                                _p(out, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return out
 
 
 def encode_windowed(img: np.ndarray, header: bytes, codec_id: int,

@@ -59,12 +59,12 @@ def packed_dist_matrix(a, b, *, block_n: int = 256,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, Wd), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((K, Wd), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, K), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + npad, K), jnp.int32),
         interpret=interpret,
@@ -92,10 +92,10 @@ def packed_row_weight(a, *, block_n: int = 512, interpret: bool | None = None):
         _weight_kernel,
         grid=((N + npad) // bn,),
         in_specs=[pl.BlockSpec((bn, Wd), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM)],
         out_specs=pl.BlockSpec((bn, 1), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + npad, 1), jnp.int32),
         interpret=interpret,

@@ -174,52 +174,6 @@ def select_best(d, key, T_thresh: int, M: int, invert: bool,
     return bestd, bestidx, bestinv, found
 
 
-def window_distance_maps_mxu(img_dense, i0, j0, W: int, R: int):
-    """MXU formulation of window_distance_maps.
-
-    One big cross-product matmul instead of a depthwise grouped conv:
-      patches = im2col(img)            [W*W, Hp*Wp]   (conv_general_patches)
-      corr    = tiles_mat @ patches    [T, Hp*Wp]     (the MXU does the work)
-      d       = |P_t| + boxsum - 2*corr, then per-tile windowed slices.
-    ~10x the grouped-conv path on a v5e for 512x512/W=16/R=128.  Memory is
-    O(T * Hp * Wp) for the full map — fine to ~1k tiles; larger images
-    should batch tile groups.
-    Returns (d, oy, ox) with the same contract as window_distance_maps.
-    """
-    H, Wd = img_dense.shape
-    T = i0.shape[0]
-    Hp, Wp = H - W + 1, Wd - W + 1
-    wh = R + 1              # candidate rows per tile
-    ww = 2 * R + W + 1      # candidate cols per tile
-    x = img_dense.astype(jnp.bfloat16)
-
-    patches = lax.conv_general_dilated_patches(
-        x[None, None], (W, W), (1, 1), "VALID")[0]      # [W*W, Hp, Wp]
-    pm = patches.reshape(W * W, Hp * Wp)
-
-    tiles = jax.vmap(
-        lambda a, b: lax.dynamic_slice(x, (a, b), (W, W)))(i0, j0)
-    tm = tiles.reshape(T, W * W)
-
-    corr = jnp.dot(tm, pm, preferred_element_type=jnp.float32)  # [T, Hp*Wp]
-    box = pm.astype(jnp.float32).sum(axis=0)                    # [Hp*Wp]
-    pw = tm.astype(jnp.float32).sum(axis=1)
-    d_full = (pw[:, None] + box[None, :] - 2.0 * corr).astype(jnp.int32)
-    d_full = d_full.reshape(T, Hp, Wp)
-
-    # pad so border windows fit, then slice each tile's window
-    pad_h = max(0, wh - Hp)
-    pad_w = max(0, ww - Wp)
-    if pad_h or pad_w:
-        d_full = jnp.pad(d_full, ((0, 0), (0, pad_h), (0, pad_w)),
-                         constant_values=jnp.int32(2**30))
-    oy = jnp.clip(i0 - R, 0, max(Hp + pad_h - wh, 0))
-    ox = jnp.clip(j0 - R, 0, max(Wp + pad_w - ww, 0))
-    d = jax.vmap(lambda m, a, b: lax.dynamic_slice(m, (a, b), (wh, ww)))(
-        d_full, oy, ox)
-    return d, oy, ox
-
-
 def window_distance_maps_banded(img_dense, i0, j0, W: int, R: int,
                                 ny: int, nx: int):
     """Row-band MXU search: one [nx, W^2] x [W^2, band] matmul per tile-row.

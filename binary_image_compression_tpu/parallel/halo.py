@@ -19,12 +19,26 @@ from jax import shard_map
 from ..ops import bitpack, predict
 
 
+def _pad_rows(x, n: int):
+    """Zero-pad trailing rows so the row count divides the shard count.
+
+    MED is causal (row r reads only rows <= r), so appended zero rows never
+    change the first `rows` rows of either transform."""
+    rows = x.shape[-2]
+    pad = -rows % n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, rows
+
+
 def med_forward_sharded(mesh: Mesh, packed, cols: int):
     """MED residual of a packed image row-sharded over the 'data' axis.
 
     Each shard computes locally after receiving its up-neighbor's last row
-    via ppermute (the 1-row causal halo)."""
+    via ppermute (the 1-row causal halo).  Ragged row counts are zero-padded
+    to the shard multiple and trimmed on return."""
     n = mesh.shape["data"]
+    packed, rows = _pad_rows(packed, n)
 
     @partial(shard_map, mesh=mesh,
              in_specs=P("data", None), out_specs=P("data", None),
@@ -47,13 +61,14 @@ def med_forward_sharded(mesh: Mesh, packed, cols: int):
         # the interior formula against a zero halo == the first-row rule.
         return r
 
-    return fn(packed)
+    return fn(packed)[:rows]
 
 
 def med_inverse_sharded(mesh: Mesh, residual, cols: int):
     """Inverse MED across row shards: local prefix-xor scans + a sequential
     carry of each shard's last accumulated row (log-step ppermute scan)."""
     n = mesh.shape["data"]
+    residual, rows = _pad_rows(residual, n)
 
     @partial(shard_map, mesh=mesh,
              in_specs=P("data", None), out_specs=P("data", None),
@@ -78,4 +93,4 @@ def med_inverse_sharded(mesh: Mesh, residual, cols: int):
         x = x ^ carry  # broadcast the carry row into every local row
         return x & jnp.asarray(bitpack.trail_mask(cols))
 
-    return fn(residual)
+    return fn(residual)[:rows]

@@ -9,7 +9,9 @@ host's shard with the device mesh, and merges per-host bitstream offsets
 concatenation; no page payload ever crosses DCN twice).
 
 Testable single-host: `make_pod_mesh` degrades to the local mesh, and the
-page-shard arithmetic is pure (tests/test_parallel_extra.py).
+page-shard arithmetic is pure (tests/test_aux.py).  Real 2-process
+execution over a CPU coordinator is exercised by
+tests/test_multihost_2proc.py.
 """
 
 from __future__ import annotations

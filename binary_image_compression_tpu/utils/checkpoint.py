@@ -1,10 +1,10 @@
 """Checkpoint / resume for learning runs and codec state.
 
 The reference has no checkpointing (SURVEY.md §5); its only persistence is
-writing D/A/E as PBM images (bsvd_test.cpp:123-125).  Here: versioned
-checkpoints of packed arrays + training metadata, with an orbax backend when
-available and a self-contained npz fallback — enough to resume a BSVD/MDL
-sweep or a sharded corpus encode mid-run.
+writing D/A/E as PBM images (bsvd_test.cpp:123-125).  Here: versioned,
+atomic, self-contained npz checkpoints of packed arrays + training
+metadata — enough to resume a BSVD/MDL sweep or a sharded corpus encode
+mid-run.
 """
 
 from __future__ import annotations

@@ -16,62 +16,68 @@
 
 namespace {
 
-// ------------------------------ bignum (little-endian u32 limbs) ----------
+// ------------------------------ bignum (fixed u64 limbs) ------------------
+// Enumerative ranks for a W x W tile need at most log2 C(W^2, W^2/2) bits;
+// with W <= 64 (validated at every entry point) that is < 4096 bits = 64
+// limbs.  A fixed inline array kills the vector allocations that dominated
+// the round-1 encoder tail; 64-bit limbs halve the mul/div chain length.
 
 struct Big {
-  std::vector<uint32_t> d;  // little-endian limbs; empty == 0
-  void trim() { while (!d.empty() && d.back() == 0) d.pop_back(); }
-  bool is_zero() const { return d.empty(); }
+  static constexpr int CAP = 66;  // C(4096, 2048) < 2^4090 -> 64 limbs
+  uint64_t d[CAP];
+  int len = 0;  // limbs in use; 0 == zero
+  void trim() { while (len && d[len - 1] == 0) --len; }
+  bool is_zero() const { return len == 0; }
   int bit_length() const {
-    if (d.empty()) return 0;
-    uint32_t top = d.back();
-    int b = 0;
-    while (top) { b++; top >>= 1; }
-    return (int(d.size()) - 1) * 32 + b;
+    if (!len) return 0;
+    return (len - 1) * 64 + (64 - __builtin_clzll(d[len - 1]));
   }
-  void set_u32(uint32_t v) { d.clear(); if (v) d.push_back(v); }
-  void mul_small(uint32_t m) {
-    uint64_t carry = 0;
-    for (auto& x : d) {
-      uint64_t p = (uint64_t)x * m + carry;
-      x = (uint32_t)p;
-      carry = p >> 32;
+  void set_u64(uint64_t v) { len = v ? 1 : 0; d[0] = v; }
+  void mul_small(uint64_t m) {
+    unsigned __int128 carry = 0;
+    for (int i = 0; i < len; ++i) {
+      unsigned __int128 p = (unsigned __int128)d[i] * m + carry;
+      d[i] = (uint64_t)p;
+      carry = p >> 64;
     }
-    if (carry) d.push_back((uint32_t)carry);
+    if (carry && len < CAP) d[len++] = (uint64_t)carry;
   }
-  void div_small(uint32_t m) {  // exact or floor division
-    uint64_t rem = 0;
-    for (int i = int(d.size()) - 1; i >= 0; --i) {
-      uint64_t cur = (rem << 32) | d[i];
-      d[i] = (uint32_t)(cur / m);
+  void div_small(uint64_t m) {  // exact or floor division
+    unsigned __int128 rem = 0;
+    for (int i = len - 1; i >= 0; --i) {
+      unsigned __int128 cur = (rem << 64) | d[i];
+      d[i] = (uint64_t)(cur / m);
       rem = cur % m;
     }
     trim();
   }
   void add(const Big& o) {
-    if (o.d.size() > d.size()) d.resize(o.d.size(), 0);
+    int n = o.len > len ? o.len : len;
     uint64_t carry = 0;
-    for (size_t i = 0; i < d.size(); ++i) {
-      uint64_t s = (uint64_t)d[i] + (i < o.d.size() ? o.d[i] : 0) + carry;
-      d[i] = (uint32_t)s;
-      carry = s >> 32;
+    for (int i = 0; i < n; ++i) {
+      unsigned __int128 s = (unsigned __int128)(i < len ? d[i] : 0)
+                            + (i < o.len ? o.d[i] : 0) + carry;
+      d[i] = (uint64_t)s;
+      carry = (uint64_t)(s >> 64);
     }
-    if (carry) d.push_back((uint32_t)carry);
+    len = n;
+    if (carry && len < CAP) d[len++] = carry;
   }
   // this -= o (requires this >= o)
   void sub(const Big& o) {
-    int64_t borrow = 0;
-    for (size_t i = 0; i < d.size(); ++i) {
-      int64_t s = (int64_t)d[i] - (i < o.d.size() ? (int64_t)o.d[i] : 0)
-                  - borrow;
-      borrow = s < 0;
-      d[i] = (uint32_t)(s + (borrow ? 0x100000000LL : 0));
+    uint64_t borrow = 0;
+    for (int i = 0; i < len; ++i) {
+      uint64_t oi = i < o.len ? o.d[i] : 0;
+      uint64_t di = d[i];
+      uint64_t r = di - oi - borrow;
+      borrow = (di < oi + borrow) || (oi + borrow < oi) ? 1 : 0;
+      d[i] = r;
     }
     trim();
   }
   bool ge(const Big& o) const {  // this >= o
-    if (d.size() != o.d.size()) return d.size() > o.d.size();
-    for (int i = int(d.size()) - 1; i >= 0; --i)
+    if (len != o.len) return len > o.len;
+    for (int i = len - 1; i >= 0; --i)
       if (d[i] != o.d[i]) return d[i] > o.d[i];
     return true;
   }
@@ -79,12 +85,12 @@ struct Big {
 
 static Big binom(int n, int k) {  // C(n, k)
   Big c;
-  c.set_u32(1);
-  if (k < 0 || k > n) { c.d.clear(); return c; }
+  c.set_u64(1);
+  if (k < 0 || k > n) { c.len = 0; return c; }
   if (k > n - k) k = n - k;
   for (int i = 0; i < k; ++i) {
-    c.mul_small((uint32_t)(n - i));
-    c.div_small((uint32_t)(i + 1));
+    c.mul_small((uint64_t)(n - i));
+    c.div_small((uint64_t)(i + 1));
   }
   return c;
 }
@@ -108,8 +114,8 @@ struct Writer {
   }
   void put_big(const Big& v, int nbits) {  // MSB-first, fixed width
     for (int i = nbits - 1; i >= 0; --i) {
-      int limb = i >> 5, off = i & 31;
-      int bit = (limb < (int)v.d.size()) ? ((v.d[limb] >> off) & 1) : 0;
+      int limb = i >> 6, off = i & 63;
+      int bit = (limb < v.len) ? (int)((v.d[limb] >> off) & 1) : 0;
       put_bit(bit);
     }
   }
@@ -135,10 +141,12 @@ struct Reader {
   }
   Big get_big(int nbits_) {
     Big v;
-    v.d.assign((nbits_ + 31) / 32, 0);
+    v.len = (nbits_ + 63) / 64;
+    if (v.len > Big::CAP) { error = true; v.len = 0; return v; }
+    for (int i = 0; i < v.len; ++i) v.d[i] = 0;
     for (int i = nbits_ - 1; i >= 0; --i) {
       int bit = get_bit();
-      if (bit) v.d[i >> 5] |= (1u << (i & 31));
+      if (bit) v.d[i >> 6] |= (1ULL << (i & 63));
     }
     v.trim();
     return v;
@@ -183,9 +191,30 @@ static int enum_nbits(int n, int w) {
   Big c = binom(n, w);
   if (c.is_zero()) return 0;
   // nbits = bit_length(c - 1)
-  Big one; one.set_u32(1);
+  Big one; one.set_u64(1);
   c.sub(one);
   return c.bit_length();
+}
+
+// per-M lookup of enum_nbits(M, w) for w in [0, M]; one binom sweep per call
+static std::vector<int> enum_nbits_table(int M) {
+  std::vector<int> enb(M + 1);
+  Big c; c.set_u64(1);  // C(M, 0)
+  for (int w = 0; w <= M; ++w) {
+    if (w == 0 || w == M) {
+      enb[w] = 0;
+    } else {
+      Big cm = c;  // C(M, w)
+      Big one; one.set_u64(1);
+      cm.sub(one);
+      enb[w] = cm.bit_length();
+    }
+    if (w < M) {  // C(M, w+1) = C(M, w) * (M - w) / (w + 1)
+      c.mul_small((uint64_t)(M - w));
+      c.div_small((uint64_t)(w + 1));
+    }
+  }
+  return enb;
 }
 
 // rank of 0/1 vector bits[n] with weight w; single pass maintaining
@@ -320,6 +349,7 @@ long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
   Writer w(out, out_cap);
   w.bitpos = header_len * 8;
   Golomb gm, gn;
+  std::vector<int> enb = enum_nbits_table(M);
   for (long t = 0; t < n_tiles; ++t) {
     int m = mode[t];
     uint32_t wt = (uint32_t)weight[t];
@@ -334,9 +364,80 @@ long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
       w.put_bit(m & 1);
       gn.encode(w, wt);
     }
-    int nb = enum_nbits(M, (int)wt);
     Big r = enum_rank(residuals + t * M, M, (int)wt);
-    w.put_big(r, nb);
+    w.put_big(r, enb[wt <= (uint32_t)M ? wt : M]);
+    if (w.overflow) return -1;
+  }
+  return (w.bitpos + 7) / 8;
+}
+
+// Fused mode decision + tile-record packing: the full encoder tail after
+// device analysis in ONE native call (replaces the round-1 Python
+// _decide_modes loop + np_unpack + bic_pack_tiles).  Inputs are exactly the
+// per-tile arrays models/compress.encode_analyze returns:
+//   weights4  [T*4] int32  residual weights for modes (m/np, m/p, n/np, n/p)
+//   has_cands [T]   u8     any causal candidate in the window
+//   idx_len   [T]   i32    ceil(log2 n_candidates)
+//   inv       [T]   u8     complement flag of the best candidate (codec 8)
+//   rank      [T]   i64    scan-order rank of the best candidate
+//   residual4 [T*4*nw] u32 packed residual bits per mode (MSB-first lanes)
+// Decision arithmetic is identical to models/codec._encode_windowed: true
+// record-header bit counts + adaptive-Golomb cost + enumerative bits, first
+// minimum wins.  Returns total byte length, or -1 on overflow/bad args.
+long bic_decide_pack(const uint8_t* header, long header_len, long n_tiles,
+                     int M, int codec_id, const int32_t* weights4,
+                     const uint8_t* has_cands, const int32_t* idx_len,
+                     const uint8_t* inv, const int64_t* rank,
+                     const uint32_t* residual4, int nwords,
+                     uint8_t* out, long out_cap, int32_t* mode_out) {
+  if (M < 1 || M > 64 * 64 || nwords < (M + 31) / 32) return -1;
+  const bool use_pred = codec_id == 7 || codec_id == 8;
+  const bool invert = codec_id == 8;
+  const long mcost = 1 + (use_pred ? 1 : 0) + (invert ? 1 : 0);
+  const long ncost = 1 + (use_pred ? 1 : 0);
+  const long BIG = 1L << 28;
+  std::memset(out, 0, out_cap);
+  std::memcpy(out, header, header_len);
+  Writer w(out, out_cap);
+  w.bitpos = header_len * 8;
+  Golomb gm, gn;
+  std::vector<int> enb = enum_nbits_table(M);
+  std::vector<uint8_t> bits(M);
+  auto gk = [](const Golomb& g, long u) {
+    return (long)g.k + (u >> g.k) + 1; };
+  for (long t = 0; t < n_tiles; ++t) {
+    const int32_t* w4 = weights4 + t * 4;
+    for (int m = 0; m < 4; ++m)
+      if (w4[m] < 0 || w4[m] > M) return -1;
+    bool hc = has_cands[t] != 0;
+    long il = idx_len[t];
+    long costs[4] = {
+        hc ? mcost + il + gk(gm, w4[0]) + enb[w4[0]] : BIG,
+        (hc && use_pred) ? mcost + il + gk(gm, w4[1]) + enb[w4[1]] : BIG,
+        ncost + gk(gn, w4[2]) + enb[w4[2]],
+        use_pred ? ncost + gk(gn, w4[3]) + enb[w4[3]] : BIG};
+    int mode = 0;
+    for (int m = 1; m < 4; ++m)
+      if (costs[m] < costs[mode]) mode = m;
+    if (mode_out) mode_out[t] = mode;
+    uint32_t wt = (uint32_t)w4[mode];
+    if (mode < 2) {
+      w.put_bit(1);
+      if (use_pred) w.put_bit(mode & 1);
+      if (invert) w.put_bit(inv[t] ? 1 : 0);
+      w.put_bits((uint64_t)rank[t], (int)il);
+      gm.encode(w, wt);
+    } else {
+      w.put_bit(0);
+      if (use_pred) w.put_bit(mode & 1);
+      gn.encode(w, wt);
+    }
+    // unpack the chosen mode's packed residual row (MSB-first uint32 lanes)
+    const uint32_t* row = residual4 + (t * 4 + mode) * nwords;
+    for (int j = 0; j < M; ++j)
+      bits[j] = (uint8_t)((row[j >> 5] >> (31 - (j & 31))) & 1);
+    Big r = enum_rank(bits.data(), M, (int)wt);
+    w.put_big(r, enb[wt]);
     if (w.overflow) return -1;
   }
   return (w.bitpos + 7) / 8;
@@ -356,10 +457,16 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
   std::memcpy(&cols, blob + 16, 4);
   std::memcpy(&T, blob + 20, 4);
   std::memcpy(&R, blob + 24, 4);
+  // untrusted header: W=0 divides by zero below, W>64 overflows M and the
+  // packed-row fast paths; oversized dims would size multi-GB buffers
+  // (geometry in 64-bit — cols+W-1 overflows uint32 at cols=0xffffffff)
+  if (W < 1 || W > 64) return -4;
+  if (rows == 0 || cols == 0 ||
+      (uint64_t)rows * (uint64_t)cols > (1ULL << 30)) return -4;
   bool strict = flags & 1;
   bool invert = codec == 8;
   bool use_pred = codec == 7 || codec == 8;
-  int ny = (rows + W - 1) / W, nx = (cols + W - 1) / W;
+  long ny = ((long)rows + W - 1) / W, nx = ((long)cols + W - 1) / W;
   int M = W * W;
   long gw = (long)nx * W, gh = (long)ny * W;
   std::vector<uint8_t> work(gh * gw, 0), outg(gh * gw, 0);
@@ -367,6 +474,7 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
   Reader r(blob, blob_len);
   r.bitpos = 28 * 8;
   Golomb gm, gn;
+  std::vector<int> enb = enum_nbits_table(M);
   std::vector<uint8_t> res(M), P(M);
   for (int ti = 0; ti < ny; ++ti) {
     for (int tj = 0; tj < nx; ++tj) {
@@ -385,7 +493,8 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
         if (rank >= nc) rank = nc - 1;  // corrupt index: clamp
       }
       uint32_t wt = match ? gm.decode(r) : gn.decode(r);
-      int nb = enum_nbits(M, (int)wt);
+      if (wt > (uint32_t)M) return -2;  // corrupt weight
+      int nb = enb[wt];
       Big rk = r.get_big(nb);
       enum_unrank(rk, M, (int)wt, res.data());
       if (r.error) return -2;
@@ -410,6 +519,83 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
   }
   for (uint32_t i = 0; i < rows; ++i)
     std::memcpy(out_img + (long)i * cols, &outg[(long)i * gw], cols);
+  return 0;
+}
+
+// ------------------- codec 10 run-length stage (EG / MELCODE) -------------
+// Adaptive exponential-Golomb runs for the MED+RLE codec: the per-run hot
+// loop of models/codec._EGStream (the reference's intended MELCODE,
+// eg.cpp:4-37, with the LUT clamped to 31 — DEVIATIONS.md 2).  The payload
+// is byte-aligned after the BIC1 header, so these operate on a fresh
+// bitstream.  Encoder takes precomputed zero-run lengths (numpy extracts
+// them vectorized); decoder emits the flat 0/1 residual plane.
+
+static const int EGLUT[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                              4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13,
+                              14, 15};
+
+struct EGState {
+  int lut_index = 0, g = 1;
+  long block = 1;  // eg.h ctor state
+  void inc() {
+    if (lut_index < 31) lut_index++;
+    g = EGLUT[lut_index];
+    block = 1L << g;
+  }
+  void dec() {
+    if (lut_index > 0) lut_index--;
+    g = EGLUT[lut_index];
+    block = 1L << g;
+  }
+};
+
+long bic_eg_encode_runs(const int64_t* runs, long n_runs, uint8_t* out,
+                        long cap) {
+  std::memset(out, 0, cap);
+  Writer w(out, cap);
+  EGState eg;
+  for (long i = 0; i < n_runs; ++i) {
+    long len = runs[i];
+    if (len < 0) return -1;
+    while (len >= eg.block) {
+      len -= eg.block;
+      w.put_bit(1);
+      eg.inc();
+    }
+    w.put_bit(0);
+    w.put_bits((uint64_t)len, eg.g);
+    eg.dec();
+    if (w.overflow) return -1;
+  }
+  return (w.bitpos + 7) / 8;
+}
+
+// decode zero-runs until n_pixels consumed; flat_out[n_pixels] gets the 0/1
+// residual plane.  Returns 0, or -2 on truncated/corrupt stream.
+int bic_eg_decode_runs(const uint8_t* payload, long payload_len,
+                       long n_pixels, uint8_t* flat_out) {
+  std::memset(flat_out, 0, n_pixels);
+  Reader r(payload, payload_len);
+  EGState eg;
+  long pos = 0;
+  while (pos < n_pixels) {
+    long len = 0;
+    while (r.get_bit()) {
+      len += eg.block;
+      eg.inc();
+      if (len > n_pixels - pos) { len = n_pixels - pos; goto place; }
+      if (r.error) return -2;
+    }
+    len += (long)r.get_bits(eg.g);
+    eg.dec();
+  place:
+    pos += len;
+    if (pos < n_pixels) {
+      flat_out[pos] = 1;
+      pos += 1;
+    }
+    if (r.error && pos < n_pixels) return -2;
+  }
   return 0;
 }
 
@@ -601,6 +787,9 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
                          long header_len, int codec_id, int strict, int W,
                          uint32_t rows, uint32_t cols, uint32_t T, uint32_t R,
                          uint8_t* out, long out_cap) {
+  // prow[64] below holds one packed tile row per W; W outside [1, 64]
+  // would smash the stack (W > 64) or divide by zero (W = 0)
+  if (W < 1 || W > 64 || rows == 0 || cols == 0) return -1;
   const int ny = (rows + W - 1) / W, nx = (cols + W - 1) / W;
   const int M = W * W;
   const long gh = (long)ny * W, gw = (long)nx * W;
@@ -628,6 +817,7 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
   Writer wtr(out, out_cap);
   wtr.bitpos = header_len * 8;
   Golomb gm, gn;
+  std::vector<int> enb = enum_nbits_table(M);
   std::vector<uint8_t> P(M), P2(M), Pm(M), P3(M), dP3(M), dP(M);
 
   for (int ti = 0; ti < ny; ++ti) {
@@ -688,19 +878,19 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
         for (int i = 0; i < M; ++i) w_n_p += dP[i];
       }
 
-      // 4-way decision, same arithmetic as models/codec._encode_windowed
+      // 4-way decision, same arithmetic as models/codec._encode_windowed:
+      // header bits actually written = match + pred? + inv?
       const long BIG = 1L << 40;
-      long mcost = invert ? 3 : 2;
+      long mcost = 1 + (use_pred ? 1 : 0) + (invert ? 1 : 0);
       long ncost = use_pred ? 2 : 1;
       auto gk = [](const Golomb& gg, long u) {
         return (long)gg.k + (u >> gg.k) + 1; };
       long costs[4] = {
-          best >= 0 ? mcost + il + gk(gm, w_m_np) + enum_nbits(M, (int)w_m_np)
-                    : BIG,
+          best >= 0 ? mcost + il + gk(gm, w_m_np) + enb[w_m_np] : BIG,
           (best >= 0 && use_pred)
-              ? mcost + il + gk(gm, w_m_p) + enum_nbits(M, (int)w_m_p) : BIG,
-          ncost + gk(gn, w_n_np) + enum_nbits(M, (int)w_n_np),
-          use_pred ? ncost + gk(gn, w_n_p) + enum_nbits(M, (int)w_n_p) : BIG};
+              ? mcost + il + gk(gm, w_m_p) + enb[w_m_p] : BIG,
+          ncost + gk(gn, w_n_np) + enb[w_n_np],
+          use_pred ? ncost + gk(gn, w_n_p) + enb[w_n_p] : BIG};
       int mode = 0;
       for (int m = 1; m < 4; ++m)
         if (costs[m] < costs[mode]) mode = m;
@@ -722,7 +912,7 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
         gn.encode(wtr, (uint32_t)wt);
       }
       Big rb = enum_rank(res, M, (int)wt);
-      wtr.put_big(rb, enum_nbits(M, (int)wt));
+      wtr.put_big(rb, enb[wt]);
       if (wtr.overflow) return -1;
 
       if (strict) {

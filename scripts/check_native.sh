@@ -70,6 +70,21 @@ for trial in range(12):
             lib.bic_decode_windowed(bytes(bad), len(bad), p(dec))
         # truncated
         lib.bic_decode_windowed(out[:30].tobytes(), 30, p(dec))
+        # header-field corruption: W=0 (div-by-zero), W=65535 (M overflow),
+        # huge rows/cols (allocation bombs) must all return an error code
+        for off, val in ((10, b"\x00\x00"), (10, b"\xff\xff"),
+                         (12, b"\xff\xff\xff\xff"),
+                         (16, b"\xff\xff\xff\xff")):
+            bad = bytearray(out[:n].tobytes())
+            bad[off:off + len(val)] = val
+            rc = lib.bic_decode_windowed(bytes(bad), len(bad), p(dec))
+            assert rc != 0, ("header fuzz accepted", off)
+        # encoder must reject out-of-range W instead of smashing the stack
+        for badW in (0, 65, 128):
+            hdrb = header(cid, strict, badW, rows, cols, 2, 16, crc)
+            assert lib.bic_encode_windowed(p(img), hdrb, len(hdrb), cid,
+                                           strict, badW, rows, cols, 2, 16,
+                                           p(out), cap) < 0
     # cabic
     cap = rows * cols + 4096
     out = np.zeros(cap, np.uint8)

@@ -71,6 +71,45 @@ def test_header_rejects_garbage():
         codec.decode(b"NOPE" + b"\x00" * 40)
 
 
+def test_encode_rejects_bad_tile_width():
+    img = np.zeros((32, 32), bool)
+    for W in (0, 65, 128, 65535):
+        with pytest.raises(ValueError, match="tile width"):
+            codec.encode(img, codec.CodecParams(codec=8, W=W))
+
+
+def test_decode_rejects_corrupt_header_fields():
+    """Untrusted header fields (W=0/oversized, absurd dims) must raise
+    ValueError, not SIGFPE/std::terminate in the native decoder."""
+    import struct
+    img = load("text64.pbm")
+    blob = codec.encode(img, codec.CodecParams(codec=8, W=8, R=32))
+    for off, val in ((10, struct.pack("<H", 0)),      # W = 0
+                     (10, struct.pack("<H", 65535)),  # W overflow
+                     (12, struct.pack("<I", 0)),      # rows = 0
+                     (12, struct.pack("<I", 0xFFFFFFFF)),
+                     (16, struct.pack("<I", 0xFFFFFFFF)),
+                     (8, b"\x2a")):                   # unknown codec id
+        bad = bytearray(blob)
+        bad[off:off + len(val)] = val
+        with pytest.raises(ValueError):
+            codec.decode(bytes(bad))
+
+
+def test_match_cost_uses_actual_header_bits():
+    """Codecs 4/6 write only the match bit for a match record; the mode
+    decision must charge 1 bit (not 2) so matches are not under-selected
+    (ADVICE r1).  Encoder/decoder pairs stay bit-exact either way."""
+    img = load("text256.pbm")
+    for cid in (4, 6):
+        p = codec.CodecParams(codec=cid, W=8, R=32)
+        blob = codec.encode(img, p)
+        np.testing.assert_array_equal(codec.decode(blob), img)
+        # native and pure-python encoders agree on the new costs
+        py = codec._encode_windowed(img, p, use_native=False)
+        assert blob == py
+
+
 def test_corruption_detected_by_crc():
     img = load("text64.pbm")
     blob = bytearray(codec.encode(img, codec.CodecParams(codec=8, W=8, R=32)))
