@@ -57,7 +57,11 @@ def cmd_compress(args):
         raw = rgb.size * 3
     elif ext in (".pgm", ".pnm"):
         gray, maxval = pnm.read_pnm(args.input)
-        blob = codec.encode_pgm(gray, maxval, params)
+        explicit = (args.codec != "8" or args.W != 16 or args.T is not None
+                    or args.R != 128 or args.mode != "causal")
+        blob = codec.encode_pgm(
+            gray, maxval, params if explicit else None,
+            backend="tpu" if args.backend == "tpu" else "host")
         raw = gray.size * (2 if maxval > 255 else 1)
     else:
         img = pnm.read_pbm(args.input)

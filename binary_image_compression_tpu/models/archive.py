@@ -72,5 +72,19 @@ def decode_page(blob: bytes, index: int) -> np.ndarray:
     return codec_mod.decode(blob[start:end])
 
 
-def decode_archive(blob: bytes) -> list[np.ndarray]:
-    return [decode_page(blob, i) for i in range(page_count(blob))]
+def decode_archive(blob: bytes, *, workers: int | None = None
+                   ) -> list[np.ndarray]:
+    """Decode all pages, in parallel across host cores.
+
+    Page streams are independent and the native decoder releases the GIL
+    for the duration of the ctypes call, so a thread pool gives real
+    parallelism without pickling page payloads."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    n = page_count(blob)
+    if workers is None:
+        workers = min(n, os.cpu_count() or 1)
+    if n <= 1 or workers <= 1:
+        return [decode_page(blob, i) for i in range(n)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(lambda i: decode_page(blob, i), range(n)))

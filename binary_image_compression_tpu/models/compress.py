@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops import bitpack, search
+from ..ops import bitpack, predict, search
 from ..ops.bitstream import BitWriter, enum_encode, enum_nbits, golomb_encode
 from ..ops.entropy import GolombCoder
 from .codec import CodecParams, _header, image_crc
@@ -63,7 +63,11 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
         genuinely-MXU form of the reference's dist() hot loop
         (compress8_test.cpp:152-198);
       * "conv": per-tile grouped convolution (depthwise, VPU-bound) — the
-        round-1 fallback, kept for A/B benchmarking.
+        round-1 formulation, kept for small-shape A/B benchmarking ONLY.
+        KNOWN BAD at scale on the CPU backend: XLA CPU miscompiles the
+        feature_group_count=T grouped conv under jit for T ~ 1024 (doc512:
+        35M wrong map entries; streams stay decodable but ~30% bigger —
+        caught by tests/test_compress_tpu.py::test_tpu_matches_host_doc512).
     """
     M = W * W
     i0, j0, ny, nx = search.tile_origins(rows, cols, W)
@@ -77,6 +81,21 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
         d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
     key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R, cols, rows,
                                   decodable=True)
+    return _select_and_pack(img, d, key1, key2, i0, j0, oy, ox,
+                            W=W, T_thresh=T_thresh, invert=invert)
+
+
+def _select_and_pack(frame, d, key1, key2, i0g, j0g, oy, ox, *,
+                     W: int, T_thresh: int, invert: bool):
+    """Selection + per-mode residual stage shared by the single-device and
+    tile-sharded analyzers.
+
+    frame: the 0/1 plane candidate/tile patches are gathered from; (i0g,
+    j0g) and (oy, ox) are FRAME-relative gather coordinates (equal to the
+    absolute ones on a single device; ext-halo-relative under shard_map —
+    scan keys are always built from absolute coordinates by the caller)."""
+    M = W * W
+    Tn = d.shape[0]
     key = jnp.minimum(key1, key2)
     bestd, bestidx, bestinv, found = search.select_best(
         d, key, T_thresh, M, invert=invert)
@@ -92,15 +111,15 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
             + (key2.reshape(Tn, -1) < key_sel[:, None]).sum(axis=1))
 
     # candidate patches
-    h, w = d.shape[1], d.shape[2]
+    w = d.shape[2]
     ysel = oy + bestidx // w
     xsel = ox + bestidx % w
 
     def grab(y, x):
-        return lax.dynamic_slice(img, (y, x), (W, W))
+        return lax.dynamic_slice(frame, (y, x), (W, W))
 
     P2 = jax.vmap(grab)(ysel, xsel)                      # [T, W, W]
-    P = jax.vmap(grab)(i0, j0)
+    P = jax.vmap(grab)(i0g, j0g)
     Pm = jnp.where(bestinv[:, None, None], 1 - P, P)
     P3 = Pm ^ P2
     dP3 = _med_tiles(P3)
@@ -118,9 +137,9 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
 
     # The per-tile mode decision threads two adaptive Golomb contexts
     # sequentially through the tiles — 4 integer adds per tile.  That is
-    # host work (_decide_modes, ~2ms); forcing it through a device lax.scan
-    # cost ~25ms/page.  The device returns per-mode weights and all four
-    # candidate residuals, packed.
+    # native host work (bic_decide_pack); forcing it through a device
+    # lax.scan cost ~25ms/page.  The device returns per-mode weights and
+    # all four candidate residuals, packed.
     weights4 = jnp.stack([w_mnp, w_mp, w_nnp, w_np_], axis=1)  # [T, 4]
     res4 = jnp.stack([P3, dP3, P, dP], axis=1)                 # [T, 4, W, W]
     res_packed4 = bitpack.pack(res4.reshape(Tn, 4, M).astype(jnp.bool_))
@@ -262,12 +281,55 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
 
     M = W * W
     Tn = ny * nx
-    blobs = []
-    for b in range(B):
+
+    # host tail in parallel across pages: the native decide_pack call
+    # releases the GIL, so a thread pool uses every host core
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(b):
         hdr = _header(params, rows, cols, image_crc(pages[b]))
         per_page = {k: v[b] for k, v in out.items()}
-        blobs.append(_assemble(per_page, hdr, M, Tn))
-    return blobs
+        return _assemble(per_page, hdr, M, Tn)
+
+    workers = min(B, os.cpu_count() or 1)
+    if workers <= 1:
+        return [build(b) for b in range(B)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(build, range(B)))
+
+
+# ---------------------------------------------------------------------------
+# device bitplane pipeline (BASELINE config #2; bitplane_tool.cpp:24-39)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cols",))
+def med_planes(planes_bits, cols: int):
+    """Batched MED residuals of all bitplanes on device.
+
+    planes_bits: [P, rows, cols] 0/1.  Packs to uint32 lanes and runs the
+    3-shift-XOR forward predictor (ops/predict.med_forward) across the whole
+    plane stack in one compiled program — the device stage of the grayscale
+    path (the rest, adaptive-EG run coding, is inherently sequential per run
+    and runs in native C++).  Returns packed residuals [P, rows, nw]."""
+    packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
+    return predict.med_forward(packed, cols)
+
+
+def encode_planes_device(planes: np.ndarray) -> list[bytes]:
+    """Codec-10 streams for a stack of bitplanes: device MED + native EG.
+
+    Byte-identical to codec.encode(plane, CodecParams(codec=10)) per plane
+    (tests/test_codec.py::test_pgm_tpu_backend_matches_host)."""
+    from . import codec as codec_mod
+    planes = np.asarray(planes, dtype=bool)
+    P, rows, cols = planes.shape
+    res_packed = jax.device_get(med_planes(jnp.asarray(planes, jnp.uint8),
+                                           cols))
+    res_bits = bitpack.np_unpack(res_packed, cols)          # [P, rows, cols]
+    return [codec_mod._encode_medrle(planes[i],
+                                     residual=res_bits[i].astype(np.uint8))
+            for i in range(P)]
 
 
 @partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols"))

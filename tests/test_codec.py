@@ -186,6 +186,18 @@ def test_cabic_python_twin_matches_native():
     np.testing.assert_array_equal(out, img)
 
 
+def test_pgm_tpu_backend_matches_host(rng):
+    gray = (np.abs(np.cumsum(rng.randn(96, 128), axis=1)) * 9).astype(
+        np.uint32) % 256
+    p10 = codec.CodecParams(codec=10, W=0, T=0, R=0)
+    host = codec.encode_pgm(gray, 255, p10)
+    tpu = codec.encode_pgm(gray, 255, p10, backend="tpu")
+    assert host == tpu  # device MED + native EG == host path, byte-exact
+    back, maxval = codec.decode_pgm(tpu)
+    assert maxval == 255
+    np.testing.assert_array_equal(back, gray)
+
+
 def test_ppm_color_roundtrip(rng):
     y, x = np.mgrid[0:32, 0:40]
     rgb = ((((y + x) % 256).astype(np.uint32) << 16)

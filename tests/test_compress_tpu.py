@@ -114,3 +114,18 @@ def test_tpu_encoder_codec47(cid):
     img = pnm.read_pbm(os.path.join(FIX, "text256.pbm"))
     p = codec.CodecParams(codec=cid, W=16, R=64, strict=False)
     assert compress.encode(img, p) == codec.encode(img, p)
+
+
+def test_tpu_matches_host_doc512():
+    """Full-scale byte parity on the bench fixture (W=16, R=128, 1024
+    tiles).  Round 1's grouped-conv analysis was silently miscompiled by
+    XLA CPU at this scale — streams decoded fine but ran ~30% larger than
+    the host encoder's.  The banded MXU kernel must match exactly."""
+    fix = os.path.join(FIX, "doc512.pbm")
+    if not os.path.exists(fix):
+        pytest.skip("doc512 fixture not generated")
+    img = pnm.read_pbm(fix)
+    p = codec.CodecParams(codec=8, W=16, R=128, strict=False)
+    tpu = compress.encode(img, p)
+    assert tpu == codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(tpu), img)
