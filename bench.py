@@ -1,13 +1,26 @@
-"""Round benchmark: flagship codec-8 encode+decode, bit-exact, on one chip.
+"""Round benchmark — ONE JSON line, honest per-backend breakdown.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Flagship metric: the TPU codec-8 pipeline (device fused-Pallas windowed
+search -> native bitstream pack -> native decode), bit-exact, measured as
+pipelined throughput over a 16-page batch — the production serving shape.
+Single-page latency is reported separately: through this environment's
+remote-TPU tunnel every dispatch/fetch pays a ~30 ms round trip, so
+single-shot latency mostly measures the tunnel, not the chip.
 
-value  = megapixels/s for full encode+decode (device search/analysis + host
-         bitstream pack + host decode), bit-exactness verified.
-vs_baseline = speedup over the reference's compress8_test binary on the same
-         image — note the reference only runs the encoder-side *estimator*
-         (it emits no bitstream and cannot decode), so this baseline is
-         generous to the reference.
+Secondary fields:
+  * codec12_host_mps — the context-adaptive arithmetic codec.  Backend is
+    host_cpu (single-threaded C++ range coder); it is NOT a TPU number and
+    is labeled accordingly.
+  * codec10_host_mps — MED+RLE grayscale workhorse (device MED available
+    via encode_pgm(backend="tpu"); run here on host for a stable number).
+  * scaling — weak-scaling of the page-sharded analysis on a virtual
+    8-device CPU mesh (correctness-grade: 8 virtual devices share 2 real
+    cores, so this validates the sharded program's overhead, not real ICI
+    speedup) plus the single-chip batch-vs-single efficiency.
+
+vs_baseline compares against the reference's compress8_test binary on the
+same image — generous to the reference, which only runs the encoder-side
+ESTIMATOR (no bitstream, no decode).
 """
 
 import json
@@ -48,10 +61,52 @@ def _alarm(signum, frame):
     raise _CompileTimeout()
 
 
+def _scaling_cpu_mesh():
+    """Weak-scaling of sharded_encode_analyze on the virtual CPU mesh, in a
+    subprocess so the TPU backend of the parent is untouched."""
+    code = r"""
+import json, os, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from binary_image_compression_tpu.parallel import mesh as pmesh
+from binary_image_compression_tpu.models import compress
+rng = np.random.RandomState(0)
+W, R, rows, cols = 8, 16, 64, 64
+out = {}
+for n in (1, 2, 4, 8):
+    m = pmesh.make_mesh(n, data=n, model=1)
+    run = pmesh.sharded_encode_analyze(m, W=W, R=R, T_thresh=1,
+                                       rows=rows, cols=cols)
+    pages = jnp.asarray((rng.rand(n, rows, cols) < 0.3).astype(np.int8))
+    jax.block_until_ready(run(pages))
+    t0 = time.time()
+    for _ in range(10):
+        jax.block_until_ready(run(pages))
+    out[str(n)] = (time.time() - t0) / 10
+print(json.dumps(out))
+"""
+    try:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                           capture_output=True, timeout=600, text=True)
+        times = json.loads(r.stdout.strip().splitlines()[-1])
+        t1 = times["1"]
+        # weak scaling: n devices process n pages; efficiency = t1 / tn
+        return {f"virtual_mesh_weak_eff_{n}dev":
+                round(t1 / times[str(n)], 3) for n in (2, 4, 8)}
+    except Exception:
+        return {"virtual_mesh_weak_eff": "skipped"}
+
+
 def main():
     import signal
     import jax
-    from binary_image_compression_tpu.models import codec, compress
+    from binary_image_compression_tpu.models import archive, codec, compress
     from binary_image_compression_tpu.utils import pnm
 
     if not os.path.exists(FIXTURE):
@@ -63,8 +118,8 @@ def main():
     params = codec.CodecParams(codec=8, W=16, R=128, strict=False)
     mp = rows * cols / 1e6
 
-    # codec 12 first (no jit): guarantees a result even if the TPU
-    # remote-compile service stalls (observed 60s..480s variance)
+    # host-CPU codecs first (no jit): a result survives even if the TPU
+    # remote-compile service stalls
     p12 = codec.CodecParams(codec=12, W=0, T=0, R=0)
     b12 = codec.encode(img, p12)
     assert (codec.decode(b12) == img).all()
@@ -72,81 +127,99 @@ def main():
     for _ in range(5):
         codec.decode(codec.encode(img, p12))
     t_cabic = (time.time() - t0) / 5
-    cabic_bytes = len(b12)
+    p10 = codec.CodecParams(codec=10, W=0, T=0, R=0)
+    b10 = codec.encode(img, p10)
+    assert (codec.decode(b10) == img).all()
+    t0 = time.time()
+    for _ in range(10):
+        codec.decode(codec.encode(img, p10))
+    t_mrle = (time.time() - t0) / 10
 
     ref_s = reference_seconds(FIXTURE)
     result = {
-        "metric": "flagship lossless encode+decode (bit-exact 512x512 PBM "
-                  "round-trip, codec 12 context-adaptive arithmetic)",
-        "value": round(mp / t_cabic, 3),
+        "metric": "codec-8 TPU pipeline throughput (fused-Pallas windowed "
+                  "search + native bitstream; bit-exact 512x512 round-trip; "
+                  "pipelined over a 16-page batch)",
         "unit": "megapixels/s/chip",
-        "vs_baseline": round(ref_s / t_cabic, 3) if ref_s else None,
-        "compressed_bytes": cabic_bytes,
+        "backend": jax.devices()[0].platform,
         "raw_bytes": rows * cols // 8,
         "reference_estimator_s": round(ref_s, 3) if ref_s else None,
-        "backend": jax.devices()[0].platform,
+        "codec12_host_mps": round(mp / t_cabic, 3),
+        "codec12_backend": "host_cpu (single-thread C++ range coder)",
+        "codec12_bytes": len(b12),
+        "codec10_host_mps": round(mp / t_mrle, 3),
+        "codec10_bytes": len(b10),
     }
 
-    # secondary: the TPU windowed codec-8 pipeline, under a compile watchdog
-    # (remote-compile latency varies 19s..480s with service load)
+    # TPU pipeline under a compile watchdog (remote-compile latency varies
+    # 19s..480s with service load)
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
     try:
         blob = compress.encode(img, params)
         signal.alarm(0)
     except _CompileTimeout:
+        result["value"] = result["codec12_host_mps"]
+        result["metric"] = ("codec-12 host fallback (TPU remote-compile "
+                            "stalled past budget)")
         result["codec8_tpu"] = "skipped: remote-compile stall"
         print(json.dumps(result))
         return
+    assert blob == codec.encode(img, params), "TPU stream != host stream"
     back = codec.decode(blob)
     assert (back == img).all(), "round-trip not bit-exact"
+    result["codec8_bytes"] = len(blob)
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        blob = compress.encode(img, params)
-    t_enc = (time.time() - t0) / reps
-    t0 = time.time()
-    for _ in range(reps):
-        back = codec.decode(blob)
-    t_dec = (time.time() - t0) / reps
-    assert (back == img).all()
-
-    # device-only analysis throughput (the TPU kernel story)
-    import jax.numpy as jnp
-    grid = jnp.asarray(img.astype(np.int8))
-    an = lambda: jax.block_until_ready(compress.encode_analyze(
-        grid, W=16, R=128, T_thresh=params.resolved_T(),
-        rows=rows, cols=cols))
-    an()
+    # single-page latency (tunnel-dominated; reported for completeness)
     t0 = time.time()
     for _ in range(5):
-        an()
-    t_dev = (time.time() - t0) / 5
+        compress.encode(img, params)
+    t_enc1 = (time.time() - t0) / 5
+    t0 = time.time()
+    for _ in range(5):
+        codec.decode(blob)
+    t_dec1 = (time.time() - t0) / 5
+    result["codec8_single_page_mps"] = round(mp / (t_enc1 + t_dec1), 3)
+    result["codec8_single_encode_s"] = round(t_enc1, 4)
+    result["codec8_single_decode_s"] = round(t_dec1, 4)
 
-    # batched page throughput (the production-serving path; loop-mode
-    # batch reuses the single-page compilation — no extra compile risk)
-    B = 8
-    pages = np.stack([np.roll(img, 7 * i, axis=1) for i in range(B)])
+    # flagship: pipelined 16-page batch (encode) + threaded decode
+    B = 16
+    pages = np.stack([np.roll(img, 7 * i + 1, axis=1) for i in range(B)])
     blobs = compress.encode_batch(pages, params)      # warm
     t0 = time.time()
     blobs = compress.encode_batch(pages, params)
-    t_batch = time.time() - t0
+    t_benc = time.time() - t0
+    from concurrent.futures import ThreadPoolExecutor
     t0 = time.time()
-    outs = [codec.decode(b) for b in blobs]
-    t_batch_dec = time.time() - t0
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
+        outs = list(ex.map(codec.decode, blobs))
+    t_bdec = time.time() - t0
     assert all((o == pg).all() for o, pg in zip(outs, pages))
+    result["value"] = round(B * mp / (t_benc + t_bdec), 3)
+    result["codec8_batch16_encode_s"] = round(t_benc, 3)
+    result["codec8_batch16_decode_s"] = round(t_bdec, 3)
+    result["vs_baseline"] = (round(ref_s * B / (t_benc + t_bdec), 3)
+                             if ref_s else None)
 
-    total = t_enc + t_dec
-    result.update({
-        "codec8_tpu_mps": round(mp / total, 4),
-        "codec8_vs_baseline": round(ref_s / total, 3) if ref_s else None,
-        "codec8_encode_s": round(t_enc, 4),
-        "codec8_decode_s": round(t_dec, 4),
-        "codec8_device_analysis_s": round(t_dev, 4),
-        "codec8_compressed_bytes": len(blob),
-        "codec8_batch8_mps": round(B * mp / (t_batch + t_batch_dec), 3),
-    })
+    # scaling section
+    scaling = {"batch16_speedup_vs_single":
+               round((t_enc1 + t_dec1) / ((t_benc + t_bdec) / B), 3)}
+    scaling.update(_scaling_cpu_mesh())
+    # 64-page corpus through the archive path
+    try:
+        corpus = [np.roll(img, (i * 13) % 512, axis=0) for i in range(64)]
+        archive.encode_archive(corpus[:8], params)  # warm path
+        t0 = time.time()
+        ab = archive.encode_archive(corpus, params, batch_size=16)
+        t_corp = time.time() - t0
+        scaling["corpus64_mps"] = round(64 * mp / t_corp, 3)
+        scaling["corpus64_ratio_pct"] = round(
+            100.0 * len(ab) / (64 * rows * cols / 8), 2)
+    except Exception as e:  # pragma: no cover
+        scaling["corpus64_mps"] = f"error: {e}"[:80]
+    result["scaling"] = scaling
+
     print(json.dumps(result))
 
 

@@ -48,7 +48,7 @@ def _med_tiles(P):
                                    "invert", "variant"))
 def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
                    rows: int, cols: int, invert: bool = True,
-                   variant: str = "banded"):
+                   variant: str = "fused"):
     """Device-side encoder analysis for codecs 4/7/8 (causal-original mode).
     invert=False disables the complement trick (codecs 4/7).
 
@@ -56,12 +56,17 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     Returns per-tile arrays: mode (0=m/nonpred 1=m/pred 2=n/nonpred
     3=n/pred), rank, n_cands, inv, weight, k_used, residual packed uint32.
 
-    variant selects the distance-map kernel (both numerically identical,
-    tests/test_compress_tpu.py):
-      * "banded" (default): row-band MXU contractions over the W^2 patch
-        dimension via lax.scan (search.window_distance_maps_banded) — the
-        genuinely-MXU form of the reference's dist() hot loop
-        (compress8_test.cpp:152-198);
+    variant selects the search kernel (all numerically identical,
+    tests/test_compress_tpu.py, tests/test_pallas.py):
+      * "fused" (default, W <= 32): single Pallas kernel — W-bit row fields
+        XOR+popcounted against row-bands in VMEM with the serial-scan
+        selection in-register, no HBM distance maps at all
+        (ops/pallas_kernels.fused_search_select).  12x the banded variant
+        on a v5e at 512^2/W16/R128 (7.4ms vs 91ms per page, pipelined).
+        Falls back to "banded" for W > 32.
+      * "banded": row-band MXU contractions over the W^2 patch dimension
+        via lax.scan (search.window_distance_maps_banded) + the Pallas
+        selection kernel;
       * "conv": per-tile grouped convolution (depthwise, VPU-bound) — the
         round-1 formulation, kept for small-shape A/B benchmarking ONLY.
         KNOWN BAD at scale on the CPU backend: XLA CPU miscompiles the
@@ -74,46 +79,85 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
-    if variant == "banded":
+    if variant == "fused" and W <= 32:
+        from ..ops import pallas_kernels
+        sel, oy, ox = pallas_kernels.fused_search_select(
+            img, i0, j0, ny, nx, W=W, R=R, T_thresh=T_thresh,
+            rows=rows, cols=cols, invert=invert)
+        return _finish_selection(img, sel, (i0, j0, oy, ox), W=W,
+                                 invert=invert)
+    if variant in ("banded", "fused"):
         d, oy, ox = search.window_distance_maps_banded(img, i0, j0, W, R,
                                                        ny, nx)
     else:
         d, oy, ox = search.window_distance_maps(img, i0, j0, W, R)
-    key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R, cols, rows,
-                                  decodable=True)
-    return _select_and_pack(img, d, key1, key2, i0, j0, oy, ox,
-                            W=W, T_thresh=T_thresh, invert=invert)
+    return _select_and_pack(img, d, (i0, j0, oy, ox), (i0, j0, oy, ox),
+                            W=W, R=R, T_thresh=T_thresh, invert=invert,
+                            rows=rows, cols=cols)
 
 
-def _select_and_pack(frame, d, key1, key2, i0g, j0g, oy, ox, *,
-                     W: int, T_thresh: int, invert: bool):
+def _select_and_pack(frame, d, abs_coords, gather_coords, *,
+                     W: int, R: int, T_thresh: int, invert: bool,
+                     rows: int, cols: int, selector: str = "pallas"):
     """Selection + per-mode residual stage shared by the single-device and
     tile-sharded analyzers.
 
-    frame: the 0/1 plane candidate/tile patches are gathered from; (i0g,
-    j0g) and (oy, ox) are FRAME-relative gather coordinates (equal to the
-    absolute ones on a single device; ext-halo-relative under shard_map —
-    scan keys are always built from absolute coordinates by the caller)."""
+    abs_coords = (i0, j0, oy, ox) in IMAGE coordinates (drive the causal
+    masks / scan-order ranks); gather_coords are FRAME-relative twins for
+    patch gathers (identical on one device; halo-extended under shard_map).
+
+    selector="pallas" (default) runs the fused scan-keys+selection+rank
+    Pallas kernel (ops/pallas_kernels.select_windows — one pass over d);
+    "xla" keeps the masked-reduction formulation (the two are bit-identical,
+    tests/test_pallas.py)."""
     M = W * W
     Tn = d.shape[0]
-    key = jnp.minimum(key1, key2)
-    bestd, bestidx, bestinv, found = search.select_best(
-        d, key, T_thresh, M, invert=invert)
-    # any valid candidate at all?
-    validf = (key < search._INF_KEY).reshape(Tn, -1)
-    has_cands = validf.any(axis=1)
-    n_cands = (key1 < search._INF_KEY).reshape(Tn, -1).sum(axis=1) + \
-              (key2 < search._INF_KEY).reshape(Tn, -1).sum(axis=1)
-    # enumeration rank including the duplicate y=i0-W row entries
-    key_sel = jnp.take_along_axis(key.reshape(Tn, -1), bestidx[:, None],
-                                  axis=1)[:, 0]
-    rank = ((key1.reshape(Tn, -1) < key_sel[:, None]).sum(axis=1)
-            + (key2.reshape(Tn, -1) < key_sel[:, None]).sum(axis=1))
+    i0, j0, oy, ox = abs_coords
+    i0g, j0g, oyg, oxg = gather_coords
+    if selector == "pallas":
+        from ..ops import pallas_kernels
+        sel = pallas_kernels.select_windows(
+            d, i0, j0, oy, ox, W=W, R=R, T_thresh=T_thresh,
+            rows=rows, cols=cols, invert=invert)
+        return _finish_selection(frame, sel, gather_coords, W=W,
+                                 invert=invert)
+    else:
+        key1, key2 = search.scan_keys(i0, j0, oy, ox, d.shape, W, R,
+                                      cols, rows, decodable=True)
+        key = jnp.minimum(key1, key2)
+        bestd, bestidx, bestinv, found = search.select_best(
+            d, key, T_thresh, M, invert=invert)
+        # any valid candidate at all?
+        validf = (key < search._INF_KEY).reshape(Tn, -1)
+        has_cands = validf.any(axis=1)
+        n_cands = (key1 < search._INF_KEY).reshape(Tn, -1).sum(axis=1) + \
+                  (key2 < search._INF_KEY).reshape(Tn, -1).sum(axis=1)
+        # enumeration rank including the duplicate y=i0-W row entries
+        key_sel = jnp.take_along_axis(key.reshape(Tn, -1), bestidx[:, None],
+                                      axis=1)[:, 0]
+        rank = ((key1.reshape(Tn, -1) < key_sel[:, None]).sum(axis=1)
+                + (key2.reshape(Tn, -1) < key_sel[:, None]).sum(axis=1))
+        w = d.shape[2]
+        sel = dict(dy=bestidx // w, dx=bestidx % w, bestinv=bestinv,
+                   has_cands=has_cands, n_cands=n_cands, rank=rank)
+        return _finish_selection(frame, sel, gather_coords, W=W,
+                                 invert=invert)
+
+
+def _finish_selection(frame, sel, gather_coords, *, W: int, invert: bool):
+    """Gather the selected candidates, form the four mode residuals +
+    weights, and pack — the tail every analyzer variant shares."""
+    M = W * W
+    i0g, j0g, oyg, oxg = gather_coords
+    Tn = sel["rank"].shape[0]
+    bestinv = sel["bestinv"]
+    has_cands = sel["has_cands"]
+    n_cands = sel["n_cands"]
+    rank = sel["rank"]
 
     # candidate patches
-    w = d.shape[2]
-    ysel = oy + bestidx // w
-    xsel = ox + bestidx % w
+    ysel = oyg + sel["dy"]
+    xsel = oxg + sel["dx"]
 
     def grab(y, x):
         return lax.dynamic_slice(frame, (y, x), (W, W))
@@ -269,15 +313,13 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
             im, W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols))
         out = jax.device_get(analyze(jnp.asarray(grid)))
     else:
-        gj = jnp.asarray(grid)
-        # enqueue all pages asynchronously, stack on device (one buffer per
-        # field instead of B*fields — the remote link charges ~25ms latency
-        # per fetched buffer), then one device_get
-        handles = [encode_analyze(gj[b], W=W, R=R, T_thresh=T_thresh,
-                                  rows=rows, cols=cols) for b in range(B)]
-        stacked = {k: jnp.stack([h[k] for h in handles])
-                   for k in handles[0]}
-        out = jax.device_get(stacked)
+        # enqueue all pages asynchronously (device pipelines the kernels),
+        # then one batched device_get for every page's outputs
+        gjs = [jnp.asarray(grid[b]) for b in range(B)]
+        handles = [encode_analyze(g, W=W, R=R, T_thresh=T_thresh,
+                                  rows=rows, cols=cols) for g in gjs]
+        fetched = jax.device_get(handles)
+        out = {k: np.stack([f[k] for f in fetched]) for k in fetched[0]}
 
     M = W * W
     Tn = ny * nx

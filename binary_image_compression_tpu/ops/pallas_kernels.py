@@ -72,6 +72,264 @@ def packed_dist_matrix(a, b, *, block_n: int = 256,
     return out[:N]
 
 
+_INF = 2 ** 30
+_BIG = 2 ** 30
+
+
+def make_select_kernel(W: int, R: int, T_thresh: int, rows: int, cols: int,
+                       invert: bool, h: int, w: int):
+    """Kernel body for the windowed-search selection (one tile per grid step).
+
+    Fuses ops/search.scan_keys + select_best + the rank/candidate counts into
+    a single pass over the tile's [h, w] distance map — the XLA formulation
+    materializes ~10 full-size int32 key/mask tensors (26ms/page on a v5e);
+    here the key grids live in registers.  Semantics are bit-identical
+    (tests/test_pallas.py::test_select_kernel_matches_xla): serial-scan
+    early exit at T, strict-< argmin with scan-order tie-break, ranks that
+    count the duplicate y=i0-W row entries of both window grids
+    (reference scan: compress8_test.cpp:152-198; compress4_test.cpp:96-135).
+    """
+    M = W * W
+    maxy = rows - W
+    maxx = cols - W
+    span = cols + 1
+    off1 = (W + 2) * span
+
+    def kernel(i0_ref, j0_ref, oy_ref, ox_ref, d_ref, out_ref):
+        t = pl.program_id(0)
+        out = _selection_scalars(
+            d_ref[0], i0_ref[t], j0_ref[t], oy_ref[t], ox_ref[t],
+            W=W, R=R, T_thresh=T_thresh, rows=rows,
+            cols=cols, invert=invert, h=h, w=w)
+        out_ref[0, 0, :] = jnp.stack(out).astype(jnp.int32)
+
+    return kernel
+
+
+def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
+                       invert, h, w):
+    """In-register selection math shared by the kernels; returns the 8
+    per-tile scalars (bestd, dy, inv, found, rank, n_cands, has_cands, dx).
+
+    Bit-identical to ops/search.scan_keys + select_best + the rank counts
+    (the reference serial-scan semantics: early exit at T in scan order,
+    strict-< argmin, duplicate y=i0-W row enumerated by both grids)."""
+    M = W * W
+    maxy = rows - W
+    maxx = cols - W
+    span = cols + 1
+    off1 = (W + 2) * span
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + oy
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + ox
+
+    mini2 = jnp.maximum(i0 - W, 0)
+    minj = jnp.maximum(j0 - R, 0)
+    maxj2 = jnp.maximum(j0 - W, 0)
+    mini = jnp.maximum(i0 - R, 0)
+    maxj = jnp.minimum(j0 + R, maxx)
+
+    inb = (yy <= maxy) & (xx <= maxx)
+    in1 = inb & (yy >= mini2) & (yy <= i0) & (xx >= minj) \
+        & (xx <= maxj2) & (j0 >= W)
+    in2 = inb & (yy >= mini) & (yy <= i0 - W) & (xx >= minj) \
+        & (xx <= maxj)
+    ord1 = (i0 - yy) * span + (maxj2 - xx)
+    ord2 = off1 + (i0 - W - yy) * span + (maxj - xx)
+    key1 = jnp.where(in1, ord1, _INF)
+    key2 = jnp.where(in2, ord2, _INF)
+    key = jnp.minimum(key1, key2)
+    valid = key < _INF
+
+    if invert:
+        dp = jnp.minimum(d, M - d)
+        inv = (M - d) < d
+    else:
+        dp = d
+        inv = jnp.zeros_like(d, dtype=jnp.bool_)
+
+    stop = valid & (dp <= T_thresh)
+    any_stop = jnp.any(stop)
+    skmin = jnp.min(jnp.where(stop, key, _INF))
+    dmin = jnp.min(jnp.where(valid, dp, _BIG))
+    at_min = valid & (dp == dmin)
+    mkmin = jnp.min(jnp.where(at_min, key, _INF))
+    key_sel = jnp.where(any_stop, skmin, mkmin)
+    # unique flat position of the selected key (all-INF -> index 0,
+    # matching jnp.argmin over a constant row)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w \
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    sel = key == key_sel
+    bestidx = jnp.min(jnp.where(sel, flat, _BIG))
+    at = flat == bestidx
+    bestd = jnp.min(jnp.where(at, dp, _BIG))
+    bestinv = jnp.max(jnp.where(at, inv.astype(jnp.int32), 0))
+    found = jnp.max(jnp.where(at, valid.astype(jnp.int32), 0))
+    rank = (key1 < key_sel).astype(jnp.int32).sum() \
+        + (key2 < key_sel).astype(jnp.int32).sum()
+    n_cands = in1.astype(jnp.int32).sum() + in2.astype(jnp.int32).sum()
+    return (bestd, bestidx // w, bestinv, found, rank, n_cands,
+            jnp.any(valid).astype(jnp.int32), bestidx % w)
+
+
+def select_windows(d, i0, j0, oy, ox, *, W: int, R: int, T_thresh: int,
+                   rows: int, cols: int, invert: bool,
+                   interpret: bool | None = None):
+    """Pallas windowed-search selection over per-tile distance maps.
+
+    d: int32 [T, h, w]; i0/j0/oy/ox: int32 [T].  Returns a dict with
+    bestd/dy/dx/bestinv/found/rank/n_cands/has_cands, each int32 [T] —
+    drop-in for the scan_keys + select_best + rank XLA stage ((dy, dx) are
+    the selected candidate's window-relative offsets, i.e. bestidx divmod w).
+    """
+    d = jnp.asarray(d, jnp.int32)
+    T, h, w = d.shape
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    sc = lambda a: jnp.asarray(a, jnp.int32).reshape(T)
+    kernel = make_select_kernel(W, R, T_thresh, rows, cols, invert, h, w)
+    vmem = pl.ANY if interpret else pltpu.VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8), lambda i, *_: (i, 0, 0),
+                               memory_space=vmem),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 1, 8), jnp.int32),
+        interpret=interpret,
+    )(sc(i0), sc(j0), sc(oy), sc(ox), d)
+    out = out[:, 0, :]
+    return dict(bestd=out[:, 0], dy=out[:, 1], dx=out[:, 7],
+                bestinv=out[:, 2].astype(jnp.bool_),
+                found=out[:, 3].astype(jnp.bool_), rank=out[:, 4],
+                n_cands=out[:, 5], has_cands=out[:, 6].astype(jnp.bool_))
+
+
+# ---------------------------------------------------------------------------
+# fused windowed search: bit-field XOR+popcount + selection, no HBM maps
+# ---------------------------------------------------------------------------
+
+def _field_plane(img, W: int, He: int, We: int):
+    """E[y, x] = the W-bit row field img[y, x:x+W] as a uint32 (bits W-1..0).
+
+    Row-im2col in packed form: W shift-ors over the 0/1 image — the whole
+    patch bank the search needs, at 1/Wth the footprint of a dense im2col."""
+    gh, gw = img.shape
+    imgp = jnp.zeros((He, We + W), jnp.uint32)
+    imgp = lax.dynamic_update_slice(imgp, img.astype(jnp.uint32), (0, 0))
+    E = jnp.zeros((He, We), jnp.uint32)
+    for a in range(W):
+        E = E | (imgp[:, a:a + We] << (W - 1 - a))
+    return E
+
+
+def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
+                        R: int, T_thresh: int, rows: int, cols: int,
+                        invert: bool, interpret: bool | None = None):
+    """The codec windowed search as ONE Pallas kernel per tile row.
+
+    Replaces the distance-map + scan-key + selection XLA pipeline (which
+    materializes O(T * (R+1) * (2R+W+1)) int32 tensors several times over —
+    62ms/page on a v5e at 512^2/W16/R128): candidates are W-bit row fields
+    XOR+popcounted against the tile rows directly from a row-band in VMEM,
+    and the serial-scan selection (ops/search.select_best semantics) runs
+    in-register.  The only HBM traffic is the field plane E (4 B/pixel) and
+    8 scalars per tile.  Reference hot loop: compress8_test.cpp:152-198.
+
+    img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Requires W <= 32 (field in
+    a uint32 lane; models/compress falls back to the banded MXU variant
+    otherwise).  Returns (sel dict as select_windows, oy [T], ox [T]).
+    """
+    assert W <= 32, "fused search packs one tile row per uint32 lane"
+    img = jnp.asarray(img_bits, jnp.uint32)
+    gh, gw = img.shape
+    T = ny * nx
+    wh = R + 1
+    bh = R + W
+    Hp = gh - W + 1
+    pad_h = max(0, wh - Hp)
+    He = gh + pad_h
+    We = gw  # full-width bands; key masks bound the per-tile x range
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    E = _field_plane(img, W, He, We)
+    i0r = jnp.asarray(i0, jnp.int32).reshape(ny, nx)[:, :1]      # [ny, 1]
+    j0r = jnp.asarray(j0, jnp.int32).reshape(ny, nx)             # [ny, nx]
+    oyr = jnp.clip(i0r - R, 0, max(Hp + pad_h - wh, 0))          # [ny, 1]
+    bands = jax.vmap(
+        lambda o: lax.dynamic_slice(E, (o, 0), (bh, We)))(oyr[:, 0])
+    aoff = jnp.arange(W, dtype=jnp.int32)
+    trow = E[jnp.asarray(i0)[:, None] + aoff[None, :],
+             jnp.asarray(j0)[:, None]].reshape(ny, nx, W)
+
+    vmem = pl.ANY if interpret else pltpu.VMEM
+
+    # Mosaic restricts dynamic offsets along the lane (last) dimension, so
+    # the kernel evaluates each tile against the FULL band width and lets
+    # the key masks discard out-of-window positions.  The W row-shifted
+    # copies of the band are hoisted out of the tile loop (rolled rows wrap,
+    # but wrapped positions have dy > R and every valid candidate has
+    # dy <= i0 - oy <= R, so wraps are always masked).
+    def kernel(i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
+        r = pl.program_id(0)
+        i0s = i0_ref[r]
+        oys = oy_ref[r]
+        bandv = band_ref[0]                         # [bh, We] uint32
+        if interpret:
+            rolled = [jnp.roll(bandv, -a, axis=0) for a in range(W)]
+        else:
+            rolled = [bandv] + [pltpu.roll(bandv, bh - a, axis=0)
+                                for a in range(1, W)]
+
+        def tile_body(t, carry):
+            j0_t = j0_ref[r, t]
+            acc = jnp.zeros((bh, We), jnp.int32)
+            for a in range(W):
+                f = rolled[a] ^ trow_ref[r, t, a]
+                acc = acc + lax.population_count(f).astype(jnp.int32)
+            outs = _selection_scalars(
+                acc, i0s, j0_t, oys, jnp.int32(0), W=W, R=R,
+                T_thresh=T_thresh, rows=rows, cols=cols, invert=invert,
+                h=bh, w=We)
+            out_ref[0, pl.ds(t, 1), :] = \
+                jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
+            return carry
+
+        lax.fori_loop(0, nx, tile_body, jnp.int32(0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ny,),
+        in_specs=[
+            pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((1, nx, 8), lambda r, *_: (r, 0, 0),
+                               memory_space=vmem),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ny, nx, 8), jnp.int32),
+        interpret=interpret,
+    )(i0r[:, 0], oyr[:, 0], j0r, trow, bands)
+    out = out.reshape(T, 8)
+    sel = dict(bestd=out[:, 0], dy=out[:, 1], dx=out[:, 7],
+               bestinv=out[:, 2].astype(jnp.bool_),
+               found=out[:, 3].astype(jnp.bool_), rank=out[:, 4],
+               n_cands=out[:, 5], has_cands=out[:, 6].astype(jnp.bool_))
+    oy_full = jnp.broadcast_to(oyr, (ny, nx)).reshape(T)
+    ox_full = jnp.zeros((T,), jnp.int32)
+    return sel, oy_full, ox_full
+
+
 def _weight_kernel(a_ref, out_ref):
     """Row popcounts of a packed block."""
     acc = lax.population_count(a_ref[:]).astype(jnp.int32)

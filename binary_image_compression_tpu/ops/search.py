@@ -24,9 +24,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_INF_KEY = jnp.int32(2**30)
+# plain numpy scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+_INF_KEY = np.int32(2**30)
 
 
 def tile_origins(rows: int, cols: int, W: int):

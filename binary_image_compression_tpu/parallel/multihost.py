@@ -25,11 +25,29 @@ from jax.sharding import Mesh
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """jax.distributed.initialize with TPU auto-detection when unset."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if coordinator is not None:
+    """Bring up jax.distributed for a multi-process run.
+
+    Resolution order: explicit args > BIC_COORDINATOR/BIC_NUM_PROCESSES/
+    BIC_PROCESS_ID environment > no-op (single process).  On a real TPU pod
+    slice the runtime usually initializes the coordination service itself
+    (process_count() > 1 already) and this returns immediately.  Exercised
+    for real by tests/test_multihost_2proc.py (2 CPU processes over a local
+    coordinator)."""
+    import os
+    if coordinator is None:
+        coordinator = os.environ.get("BIC_COORDINATOR")
+        if coordinator is None:
+            return
+        num_processes = num_processes or int(
+            os.environ["BIC_NUM_PROCESSES"])
+        process_id = process_id if process_id is not None else int(
+            os.environ["BIC_PROCESS_ID"])
+    try:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+    except RuntimeError:
+        # tolerable only when the runtime already brought the service up
+        if jax.process_count() <= 1:
+            raise
 
 
 def make_pod_mesh(model: int = 1) -> Mesh:

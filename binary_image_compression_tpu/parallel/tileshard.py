@@ -66,11 +66,9 @@ def _analyze_shard(block, *, n: int, W: int, R: int, T_thresh: int,
     # above the image (zero halo of the top shards) land at negative y and
     # are masked off by the key grids.
     oy_abs = oy_rel + base - R
-    key1, key2 = search.scan_keys(i0_abs, j0, oy_abs, ox, d.shape, W, R,
-                                  cols, rows, decodable=True)
-    return compress._select_and_pack(ext, d, key1, key2, i0_rel, j0,
-                                     oy_rel, ox, W=W, T_thresh=T_thresh,
-                                     invert=invert)
+    return compress._select_and_pack(
+        ext, d, (i0_abs, j0, oy_abs, ox), (i0_rel, j0, oy_rel, ox),
+        W=W, R=R, T_thresh=T_thresh, invert=invert, rows=rows, cols=cols)
 
 
 def analyze_tile_sharded(mesh: Mesh, img_grid, *, W: int, R: int,
@@ -111,8 +109,10 @@ def _sharded_fn(mesh, n, W, R, T_thresh, rows, cols, gw, block_rows,
     out_specs = dict(rank=P("data"), n_cands=P("data"), inv=P("data"),
                      has_cands=P("data"), weights4=P("data", None),
                      idx_len=P("data"), residual4=P("data", None, None))
+    # check_vma=False: the pallas selection kernel inside the shard body
+    # cannot declare its varying-across-mesh axes (jax 0.9 limitation)
     return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data", None),
-                             out_specs=out_specs))
+                             out_specs=out_specs, check_vma=False))
 
 
 def encode_tile_sharded(mesh: Mesh, img: np.ndarray, params=None) -> bytes:

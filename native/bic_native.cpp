@@ -12,6 +12,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
 #include <vector>
 
 namespace {
@@ -217,6 +220,128 @@ static std::vector<int> enum_nbits_table(int M) {
   return enb;
 }
 
+// ---- Pascal-triangle binomial cache (M <= 256) ----------------------------
+// The incremental rank/unrank transitions need a bignum mul+div per bit;
+// with the triangle of C(a, r) precomputed (pure adds to build, ~1.3 MB for
+// M=256) each step becomes a 4-limb add/sub — 3-4x faster encoder tail.
+// C(255, 127) < 2^252, so 4 u64 limbs always suffice at M <= 256.
+
+struct SmallBig {
+  uint64_t d[4];
+  uint8_t len;
+};
+
+struct BinomTable {
+  int n;
+  std::vector<SmallBig> v;  // triangular: C(a, r) at a*(a+1)/2 + r, r <= a
+  const SmallBig& at(int a, int r) const {
+    return v[(size_t)a * (a + 1) / 2 + r];
+  }
+};
+
+static const BinomTable* binom_table(int M) {
+  if (M < 1 || M > 256) return nullptr;
+  static std::mutex mu;  // decode/pack run concurrently from Python threads
+  static std::map<int, std::unique_ptr<BinomTable>> cache;
+  std::lock_guard<std::mutex> lk(mu);
+  auto& slot = cache[M];
+  if (!slot) {
+    auto t = std::make_unique<BinomTable>();
+    t->n = M;
+    t->v.resize((size_t)M * (M + 1) / 2);
+    for (int a = 0; a < M; ++a) {
+      for (int r = 0; r <= a; ++r) {
+        SmallBig& c = t->v[(size_t)a * (a + 1) / 2 + r];
+        if (r == 0 || r == a) {
+          c.d[0] = 1; c.d[1] = c.d[2] = c.d[3] = 0; c.len = 1;
+        } else {  // Pascal: C(a, r) = C(a-1, r-1) + C(a-1, r)
+          const SmallBig& x = t->at(a - 1, r - 1);
+          const SmallBig& y = t->at(a - 1, r);
+          unsigned __int128 carry = 0;
+          int len = 0;
+          for (int i = 0; i < 4; ++i) {
+            unsigned __int128 s = carry;
+            s += (i < x.len) ? x.d[i] : 0;
+            s += (i < y.len) ? y.d[i] : 0;
+            c.d[i] = (uint64_t)s;
+            carry = s >> 64;
+            if (c.d[i]) len = i + 1;
+          }
+          c.len = (uint8_t)len;
+        }
+      }
+    }
+    slot = std::move(t);
+  }
+  return slot.get();
+}
+
+// rank/unrank with the table: add/sub-only inner loop
+static Big enum_rank_tab(const uint8_t* bits, int n, int w,
+                         const BinomTable* T) {
+  Big rank;
+  int rem = w;
+  for (int q = 0; q < n && rem > 0; ++q) {
+    int a = n - 1 - q;
+    if (bits[q]) {
+      rem -= 1;
+    } else if (rem - 1 <= a) {  // else C(a, rem-1) == 0
+      const SmallBig& c = T->at(a, rem - 1);
+      // rank += c (4-limb add)
+      unsigned __int128 carry = 0;
+      int nlim = rank.len > c.len ? rank.len : c.len;
+      for (int i = 0; i < nlim; ++i) {
+        unsigned __int128 s = carry;
+        s += (i < rank.len) ? rank.d[i] : 0;
+        s += (i < c.len) ? c.d[i] : 0;
+        rank.d[i] = (uint64_t)s;
+        carry = s >> 64;
+      }
+      rank.len = nlim;
+      if (carry && rank.len < Big::CAP) rank.d[rank.len++] = (uint64_t)carry;
+    }
+  }
+  return rank;
+}
+
+static void enum_unrank_tab(Big rank, int n, int w, uint8_t* bits,
+                            const BinomTable* T) {
+  std::memset(bits, 0, n);
+  int rem = w;
+  for (int q = 0; q < n && rem > 0; ++q) {
+    int a = n - 1 - q;
+    bool take_one = true;
+    if (rem - 1 <= a) {
+      const SmallBig& c = T->at(a, rem - 1);
+      // rank >= c ?
+      bool ge;
+      if (rank.len != c.len) {
+        ge = rank.len > c.len;
+      } else {
+        ge = true;
+        for (int i = rank.len - 1; i >= 0; --i)
+          if (rank.d[i] != c.d[i]) { ge = rank.d[i] > c.d[i]; break; }
+      }
+      if (ge) {  // bit 0: rank -= c
+        uint64_t borrow = 0;
+        for (int i = 0; i < rank.len; ++i) {
+          uint64_t ci = i < c.len ? c.d[i] : 0;
+          uint64_t di = rank.d[i];
+          uint64_t r = di - ci - borrow;
+          borrow = (di < ci + borrow) || (ci + borrow < ci) ? 1 : 0;
+          rank.d[i] = r;
+        }
+        rank.trim();
+        take_one = false;
+      }
+    }
+    if (take_one) {
+      bits[q] = 1;
+      rem -= 1;
+    }
+  }
+}
+
 // rank of 0/1 vector bits[n] with weight w; single pass maintaining
 // c = C(n-1-q, rem-1)
 static Big enum_rank(const uint8_t* bits, int n, int w) {
@@ -350,6 +475,7 @@ long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
   w.bitpos = header_len * 8;
   Golomb gm, gn;
   std::vector<int> enb = enum_nbits_table(M);
+  const BinomTable* bt = binom_table(M);
   for (long t = 0; t < n_tiles; ++t) {
     int m = mode[t];
     uint32_t wt = (uint32_t)weight[t];
@@ -364,7 +490,8 @@ long bic_pack_tiles(const uint8_t* header, long header_len, long n_tiles,
       w.put_bit(m & 1);
       gn.encode(w, wt);
     }
-    Big r = enum_rank(residuals + t * M, M, (int)wt);
+    Big r = bt ? enum_rank_tab(residuals + t * M, M, (int)wt, bt)
+               : enum_rank(residuals + t * M, M, (int)wt);
     w.put_big(r, enb[wt <= (uint32_t)M ? wt : M]);
     if (w.overflow) return -1;
   }
@@ -402,6 +529,7 @@ long bic_decide_pack(const uint8_t* header, long header_len, long n_tiles,
   w.bitpos = header_len * 8;
   Golomb gm, gn;
   std::vector<int> enb = enum_nbits_table(M);
+  const BinomTable* bt = binom_table(M);
   std::vector<uint8_t> bits(M);
   auto gk = [](const Golomb& g, long u) {
     return (long)g.k + (u >> g.k) + 1; };
@@ -436,7 +564,8 @@ long bic_decide_pack(const uint8_t* header, long header_len, long n_tiles,
     const uint32_t* row = residual4 + (t * 4 + mode) * nwords;
     for (int j = 0; j < M; ++j)
       bits[j] = (uint8_t)((row[j >> 5] >> (31 - (j & 31))) & 1);
-    Big r = enum_rank(bits.data(), M, (int)wt);
+    Big r = bt ? enum_rank_tab(bits.data(), M, (int)wt, bt)
+               : enum_rank(bits.data(), M, (int)wt);
     w.put_big(r, enb[wt]);
     if (w.overflow) return -1;
   }
@@ -475,6 +604,7 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
   r.bitpos = 28 * 8;
   Golomb gm, gn;
   std::vector<int> enb = enum_nbits_table(M);
+  const BinomTable* bt = binom_table(M);
   std::vector<uint8_t> res(M), P(M);
   for (int ti = 0; ti < ny; ++ti) {
     for (int tj = 0; tj < nx; ++tj) {
@@ -496,7 +626,8 @@ int bic_decode_windowed(const uint8_t* blob, long blob_len,
       if (wt > (uint32_t)M) return -2;  // corrupt weight
       int nb = enb[wt];
       Big rk = r.get_big(nb);
-      enum_unrank(rk, M, (int)wt, res.data());
+      if (bt) enum_unrank_tab(rk, M, (int)wt, res.data(), bt);
+      else enum_unrank(rk, M, (int)wt, res.data());
       if (r.error) return -2;
       // reconstruct P
       std::memcpy(P.data(), res.data(), M);
@@ -818,6 +949,7 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
   wtr.bitpos = header_len * 8;
   Golomb gm, gn;
   std::vector<int> enb = enum_nbits_table(M);
+  const BinomTable* bt = binom_table(M);
   std::vector<uint8_t> P(M), P2(M), Pm(M), P3(M), dP3(M), dP(M);
 
   for (int ti = 0; ti < ny; ++ti) {
@@ -911,7 +1043,8 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
         if (use_pred) wtr.put_bit(mode & 1);
         gn.encode(wtr, (uint32_t)wt);
       }
-      Big rb = enum_rank(res, M, (int)wt);
+      Big rb = bt ? enum_rank_tab(res, M, (int)wt, bt)
+                  : enum_rank(res, M, (int)wt);
       wtr.put_big(rb, enb[wt]);
       if (wtr.overflow) return -1;
 

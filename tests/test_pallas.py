@@ -29,3 +29,48 @@ def test_packed_row_weight(rng):
     A = rng.rand(200, 257) < 0.3
     w = np.asarray(pk.packed_row_weight(bp.np_pack(A)))
     np.testing.assert_array_equal(w, A.sum(1))
+
+
+def test_select_kernel_matches_xla(rng):
+    """Fused selection kernel == scan_keys+select_best+rank (bit-exact)."""
+    import jax.numpy as jnp
+    from binary_image_compression_tpu.ops import search, pallas_kernels
+    from binary_image_compression_tpu.models import compress
+    W, R, T_thresh = 8, 16, 2
+    rows = cols = 64
+    img = jnp.asarray((rng.rand(rows, cols) < 0.3).astype("int8"))
+    i0, j0, ny, nx = search.tile_origins(rows, cols, W)
+    d, oy, ox = search.window_distance_maps_banded(img, i0, j0, W, R, ny, nx)
+    for invert in (True, False):
+        a = compress._select_and_pack(
+            img, d, (i0, j0, oy, ox), (i0, j0, oy, ox), W=W, R=R,
+            T_thresh=T_thresh, invert=invert, rows=rows, cols=cols,
+            selector="pallas")
+        b = compress._select_and_pack(
+            img, d, (i0, j0, oy, ox), (i0, j0, oy, ox), W=W, R=R,
+            T_thresh=T_thresh, invert=invert, rows=rows, cols=cols,
+            selector="xla")
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"invert={invert} {k}")
+
+
+def test_fused_search_matches_banded(rng):
+    """One-kernel search (field XOR+popcount + in-register selection) ==
+    banded-MXU maps + selection, on ragged dims."""
+    import jax
+    import jax.numpy as jnp
+    from binary_image_compression_tpu.models import compress
+    rows, cols, W, R = 75, 101, 8, 24
+    img = (rng.rand(rows, cols) < 0.35)
+    ny, nx = -(-rows // W), -(-cols // W)
+    grid = np.zeros((ny * W, nx * W), np.int8)
+    grid[:rows, :cols] = img
+    kw = dict(W=W, R=R, T_thresh=1, rows=rows, cols=cols)
+    a = jax.device_get(compress.encode_analyze(jnp.asarray(grid),
+                                               variant="fused", **kw))
+    b = jax.device_get(compress.encode_analyze(jnp.asarray(grid),
+                                               variant="banded", **kw))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
