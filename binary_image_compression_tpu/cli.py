@@ -131,12 +131,27 @@ def cmd_estimate(args):
     if args.driver == 8 and args.T is not None:
         kw["T"] = args.T
     out = fns[args.driver](img, W=args.W, **kw)
-    final = {k: v for k, v in out["final"].items() if k != "map"}
+    skip = ("map", "hist_weight", "hist_besti", "hist_bestj", "hist_radius")
+    final = {k: v for k, v in out["final"].items() if k not in skip}
     print(json.dumps(final, indent=1, default=str))
     if "map" in out["final"]:
         print("MAP:")
         for line in out["final"]["map"]:
             print(line)
+
+    def print_hist(hist, logscale):
+        # the reference's ASCII histograms (compress4_test.cpp:41-50)
+        import math
+        for i, h in enumerate(hist):
+            top = int(math.ceil(math.log2(h + 1.0))) if logscale else h
+            print(f"{i}:" + "#" * top)
+
+    f = out["final"]
+    if "hist_weight" in f:
+        for name, log in (("hist_weight", True), ("hist_besti", False),
+                          ("hist_bestj", False), ("hist_radius", False)):
+            print(f"{name.upper()}:")
+            print_hist(f[name], log)
 
 
 def cmd_bsvd(args):
@@ -147,12 +162,29 @@ def cmd_bsvd(args):
     if args.backend == "tpu":
         X = bsvd.patchify_to_rows(img, args.w) if args.I else \
             np.asarray(img, dtype=np.int8)
-        init = {0: "neighbor", 2: "random_centroids"}.get(args.i, "neighbor")
+        # reference mi catalog order (bsvd.cpp:25-31); 3 (xor centroids) has
+        # no TPU twin and falls back to the majority-vote centroids
+        init = {0: "neighbor", 1: "partition", 2: "random_centroids",
+                3: "random_centroids", 4: "graph_grow"}.get(args.i,
+                                                            "neighbor")
         du = "proximus" if args.d in (1, 3) else "steepest"
-        E, D, A, iters = bsvd.learn(X, K=args.k, init=init, dict_update=du,
-                                    seed=args.r)
+        if args.l == 4:  # MDL forward selection (bsvd.cpp:1463-1546)
+            E, D, A, bestL = bsvd.learn_mdl_forward(
+                X, K0=max(1, args.k // 8), max_k=args.k, init=init,
+                dict_update=du, seed=args.r)
+        else:
+            E, D, A, iters = bsvd.learn(X, K=args.k, init=init,
+                                        dict_update=du, seed=args.r)
         D, A, E = (np.asarray(D, bool), np.asarray(A, bool),
                    np.asarray(E, bool))
+        wE = int(E.sum())
+    elif args.l >= 4:  # reference MDL selection loops (parity layer)
+        direction = "forward" if args.l == 4 else "backward"
+        out = bsvd_ref.run_mdl(
+            img, W=args.w, K0=max(1, args.k // 8), image_mode=bool(args.I),
+            mi=args.i, cu=args.c, du=args.d, lmi=args.L,
+            direction=direction, seed=args.r)
+        D, A, E = out["D"], out["A"], out["E"]
         wE = int(E.sum())
     else:
         D, A, E, wE, res = bsvd_ref.run_bsvd_test(

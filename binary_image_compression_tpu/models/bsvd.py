@@ -43,17 +43,28 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
-def distances_to_atoms(E, D):
-    """d[i, k] = |E_i ^ D_k| for dense 0/1 rows: one MXU matmul.
+def distances_to_atoms(E, D, impl: str = "mxu"):
+    """d[i, k] = |E_i ^ D_k| for dense 0/1 rows.
 
-    The batched form of the reference's hot loop #1 (bsvd.cpp:1065-1094)."""
+    impl="mxu" (default): one f32 matmul (the batched form of the
+    reference's hot loop #1, bsvd.cpp:1065-1094).  impl="packed": pack to
+    uint32 lanes and run the Pallas XOR+popcount kernel
+    (ops/pallas_kernels.packed_dist_matrix) — 32x less memory traffic; wins
+    for wide rows (M >= ~1024), loses to the MXU for small M (see
+    scripts/bench_bsvd.py)."""
+    if impl == "packed":
+        from ..ops import bitpack, pallas_kernels
+        Ep = bitpack.pack(E.astype(jnp.bool_))
+        Dp = bitpack.pack(D.astype(jnp.bool_))
+        return pallas_kernels.packed_dist_matrix(Ep, Dp).astype(jnp.float32)
     we = E.sum(axis=1, dtype=jnp.float32)
     wd = D.sum(axis=1, dtype=jnp.float32)
     cross = jnp.dot(_f32(E), _f32(D).T, preferred_element_type=jnp.float32)
     return we[:, None] + wd[None, :] - 2.0 * cross
 
 
-def update_coefficients(E, D, A, max_flips: int | None = None):
+def update_coefficients(E, D, A, max_flips: int | None = None,
+                        distances: str = "mxu"):
     """Greedy Hamming pursuit, vectorized over samples.
 
     Per sweep every sample flips the single coefficient whose atom most
@@ -69,7 +80,7 @@ def update_coefficients(E, D, A, max_flips: int | None = None):
 
     def sweep(state):
         E, A, active, it, changed = state
-        d = distances_to_atoms(E, D)          # [N, K]
+        d = distances_to_atoms(E, D, impl=distances)   # [N, K]
         w = E.sum(axis=1, dtype=jnp.float32)  # current residual weights
         bestk = jnp.argmin(d, axis=1)
         bestd = jnp.take_along_axis(d, bestk[:, None], axis=1)[:, 0]
@@ -220,10 +231,78 @@ def initialize_neighbor(key, X, K):
     return D, A
 
 
+def initialize_partition(key, X, K):
+    """Weight-ranked pivot-column partition (bsvd.cpp:173-219), on device.
+
+    Columns ranked by (correct) column weight descending, ties by ascending
+    index — the reference's counting-sort tie order (util.cpp:7-51 processes
+    back-to-front) composed with its top-down pivot pick.  Atom k = majority
+    centroid of the samples hot in the k-th ranked column; u = 0 gives the
+    all-ones row like the reference's (s >= 0) comparison.  Deterministic
+    (no RNG); exactly equals bsvd_ref.initialize_partition whenever M <= 64
+    (where the reference's col_weight loop-bound bug is inert) —
+    tests/test_bsvd_tpu.py."""
+    N, M = X.shape
+    colw = X.astype(jnp.int32).sum(axis=0)               # correct col weight
+    # descending weight, ascending index: ascending key = (-w)*M + j
+    keyv = (-colw) * M + jnp.arange(M, dtype=jnp.int32)
+    pivots = jnp.argsort(keyv)[:min(K, M)]
+    users = X[:, pivots].astype(jnp.float32).T           # [K', N]
+    u = users.sum(axis=1)
+    s = jnp.dot(users, _f32(X), preferred_element_type=jnp.float32)
+    D = (s >= jnp.floor(u[:, None] / 2.0)).astype(jnp.int8)
+    if D.shape[0] < K:                                   # K > M: zero-pad
+        D = jnp.pad(D, ((0, K - D.shape[0]), (0, 0)))
+    A = jnp.zeros((N, K), dtype=jnp.int8)
+    return D, A
+
+
+def _graph_grow_from_seeds(X, seed_idx, K):
+    """Device core of graph-grow given the K seed row indices.
+
+    The reference's score-never-reset quirk (bsvd.cpp:334-338) collapses its
+    'best newcomer' search to *the first untaken nonzero row*, so phase 2 is
+    a deterministic round-robin deal: untaken nonzero rows in ascending
+    index order go to atoms 0..K-1 cyclically, then all-zero rows (which
+    only increment the part sizes u[k]) fill the remaining deals.  One
+    segment-sum matmul forms every part centroid."""
+    N, M = X.shape
+    taken = jnp.zeros((N,), bool).at[seed_idx].set(True)
+    wrow = X.astype(jnp.int32).sum(axis=1)
+    dealt = (~taken) & (wrow > 0)
+    t = jnp.cumsum(dealt.astype(jnp.int32)) - 1          # deal rank per row
+    atom = jnp.where(dealt, t % K, -1)
+    onehot = jax.nn.one_hot(atom, K, dtype=jnp.float32)  # -1 -> all-zero row
+    s = jnp.dot(onehot.T, _f32(X), preferred_element_type=jnp.float32)
+    s = s + _f32(X[seed_idx])
+    nnz = dealt.sum()
+    deals_total = N - K                                  # every row assigned
+    k_ar = jnp.arange(K)
+    extra = (deals_total // K) + (k_ar < (deals_total % K))
+    u = 1 + extra                                        # zero rows count too
+    D = (s >= jnp.floor(u[:, None].astype(jnp.float32) / 2.0)).astype(
+        jnp.int8)
+    A = jnp.zeros((N, K), dtype=jnp.int8)
+    return D, A
+
+
+def initialize_graph_grow(key, X, K, seed_idx=None):
+    """Support-graph growing init (bsvd.cpp:286-383), TPU formulation.
+
+    seed_idx overrides the K random seed rows (the conformance tests inject
+    the reference's rand48 draws to get bit-equal centroids)."""
+    N, M = X.shape
+    if seed_idx is None:
+        seed_idx = jax.random.choice(key, N, (K,), replace=False)
+    return _graph_grow_from_seeds(X, jnp.asarray(seed_idx, jnp.int32), K)
+
+
 INITIALIZERS = {
     "neighbor": initialize_neighbor,
     "random_centroids": initialize_random_centroids,
     "random": initialize_random,
+    "partition": initialize_partition,
+    "graph_grow": initialize_graph_grow,
 }
 
 @dataclass
@@ -241,20 +320,17 @@ def residual(X, D, A):
     return X ^ jnp.mod(prod, 2.0).astype(X.dtype)
 
 
-@partial(jax.jit, static_argnames=("K", "init", "dict_update", "max_iters"))
-def learn(X, K: int, init: str = "neighbor", dict_update: str = "steepest",
-          max_iters: int = 30, seed: int = 34503498):
-    """learn_model_traditional (bsvd.cpp:1215-1244): alternate coef/dict
-    updates until nothing changes (bounded by max_iters).  X: int8 [N, M].
-
-    Returns (E, D, A, iters)."""
-    key = jax.random.PRNGKey(seed)
-    D, A = INITIALIZERS[init](key, X, K)
+@partial(jax.jit, static_argnames=("dict_update", "max_iters", "distances"))
+def learn_from(X, D, A, dict_update: str = "steepest", max_iters: int = 30,
+               distances: str = "mxu"):
+    """learn_model_traditional from a given (D, A) state — the
+    learn_model_inner unit the MDL drivers re-enter (bsvd.cpp:1215-1244,
+    1515).  Returns (E, D, A, iters)."""
     E = residual(X, D, A)
 
     def body(state):
         E, D, A, it, changed = state
-        E, A, ch_coefs = update_coefficients(E, D, A)
+        E, A, ch_coefs = update_coefficients(E, D, A, distances=distances)
         if dict_update == "proximus":
             E, D, A, ch_atoms = update_dictionary_proximus(E, D, A)
         else:
@@ -268,6 +344,68 @@ def learn(X, K: int, init: str = "neighbor", dict_update: str = "steepest",
     E, D, A, iters, _ = lax.while_loop(
         cond, body, (E, D, A, jnp.int32(0), jnp.int32(1)))
     return E, D, A, iters
+
+
+@partial(jax.jit, static_argnames=("K", "init", "dict_update", "max_iters",
+                                   "distances"))
+def learn(X, K: int, init: str = "neighbor", dict_update: str = "steepest",
+          max_iters: int = 30, seed: int = 34503498,
+          distances: str = "mxu"):
+    """learn_model_traditional (bsvd.cpp:1215-1244): alternate coef/dict
+    updates until nothing changes (bounded by max_iters).  X: int8 [N, M].
+
+    Returns (E, D, A, iters)."""
+    key = jax.random.PRNGKey(seed)
+    D, A = INITIALIZERS[init](key, X, K)
+    return learn_from(X, D, A, dict_update=dict_update,
+                      max_iters=max_iters, distances=distances)
+
+
+def learn_mdl_forward(X, K0: int = 4, init: str = "neighbor",
+                      dict_update: str = "steepest", seed: int = 34503498,
+                      max_k: int = 256, stuck_limit: int = 10,
+                      verbose: bool = False):
+    """MDL forward selection on device (bsvd.cpp:1463-1546): grow the
+    dictionary one atom at a time — the new atom initialized from the
+    CURRENT residual, the whole model re-learned — keeping the best MDL
+    codelength, with the reference's stuck-counter + mean-deviation
+    heuristic.  The K-growing loop is host Python (each K is a different
+    compiled shape); all heavy math is the jitted learn_from.
+
+    Returns (E, D, A, bestL)."""
+    X = jnp.asarray(X, jnp.int8)
+    key = jax.random.PRNGKey(seed)
+    E, D, A, _ = learn(X, K0, init=init, dict_update=dict_update, seed=seed)
+    bestL = float(model_codelength(E, D, A))
+    best = (E, D, A)
+    currD, currA = D, A
+    currE = E
+    stuck = sum_stuck = all_stuck = 0
+    K = K0
+    while stuck < stuck_limit and K < max_k:
+        dev = (sum_stuck // all_stuck) if all_stuck else 0
+        key, sub = jax.random.split(key)
+        # one new atom from the current residual (initialize_model on E)
+        atomD, _ = INITIALIZERS[init](sub, currE, 1)
+        currD = jnp.concatenate([currD, atomD.astype(currD.dtype)], axis=0)
+        currA = jnp.pad(currA, ((0, 0), (0, 1)))
+        currE, currD, currA, _ = learn_from(X, currD, currA,
+                                            dict_update=dict_update)
+        currL = float(model_codelength(currE, currD, currA))
+        if verbose:
+            print(f"currK={K + 1} currL={currL:.0f} bestL={bestL:.0f} "
+                  f"stuck={stuck} dev={dev}")
+        if currL + dev < bestL:
+            stuck = 0
+            bestL = currL
+            best = (currE, currD, currA)
+        else:
+            stuck += 1
+            all_stuck += 1
+            sum_stuck += currL - bestL
+        K += 1
+    E, D, A = best
+    return E, D, A, bestL
 
 
 def learn_train_step(E, D, A):

@@ -349,6 +349,14 @@ def _c456(img, W, T, R, cmp5, c6=False):
     average_weight = 0
     gm, gn = GolombCoder(), GolombCoder()
     li = 0
+    # the reference's spatial diagnostics (compress4_test.cpp:139-141,
+    # 185-188): best-match row/col/radius histograms over ALL tiles and the
+    # matched-weight histogram (log-scaled in print_hist)
+    hist_w = np.zeros(M + 1, dtype=np.int64)
+    hist_i = np.zeros(ny * W, dtype=np.int64)
+    hist_j = np.zeros(nx * W, dtype=np.int64)
+    hist_r = np.zeros(int(np.ceil(np.hypot(ny * W, nx * W))) + 1,
+                      dtype=np.int64)
     for ti in range(ny):
         for tj in range(nx):
             i0, j0 = ti * W, tj * W
@@ -357,6 +365,9 @@ def _c456(img, W, T, R, cmp5, c6=False):
                 work[:rows, :cols] if (rows % W == 0 and cols % W == 0)
                 else work, P, i0, j0, W, R, T, rows, cols, cmp5)
             tiles_out.append([i0, j0, besti, bestj, bestd])
+            hist_i[besti] += 1
+            hist_j[bestj] += 1
+            hist_r[int(np.sqrt(float(besti * besti + bestj * bestj)))] += 1
             P2 = work[besti:besti + W, bestj:bestj + W]
             P3 = P ^ P2
             wP = int(P.sum())
@@ -385,6 +396,8 @@ def _c456(img, W, T, R, cmp5, c6=False):
                 gm.code_sample(g_m_sample)
                 matches += 1
                 average_weight += avg_inc
+                if avg_inc <= M:
+                    hist_w[avg_inc] += 1
                 L += match_len
                 work[i0:i0 + W, j0:j0 + W] = P3
             else:
@@ -395,6 +408,10 @@ def _c456(img, W, T, R, cmp5, c6=False):
                            ny * nx, guard_matches=c6,
                            ratio_includes_golomb=True)
     final["crashes_if_no_matches"] = (not c6) and matches == 0
+    final["hist_weight"] = hist_w.tolist()
+    final["hist_besti"] = hist_i.tolist()
+    final["hist_bestj"] = hist_j.tolist()
+    final["hist_radius"] = hist_r.tolist()
     return {"tiles": tiles_out, "final": final}
 
 
