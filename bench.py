@@ -202,6 +202,27 @@ def main():
     result["vs_baseline"] = (round(ref_s * B / (t_benc + t_bdec), 3)
                              if ref_s else None)
 
+    # strict mode (residual substitution): the serial reference semantics
+    # as one VMEM-resident Pallas kernel, vs the native host encoder
+    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
+    try:
+        ps = codec.CodecParams(codec=8, W=16, R=128, strict=True)
+        bs = compress.encode_strict(img, ps)
+        signal.alarm(0)
+        assert bs == codec.encode(img, ps)
+        t0 = time.time()
+        for _ in range(3):
+            compress.encode_strict(img, ps)
+        t_se = (time.time() - t0) / 3
+        t0 = time.time()
+        host_ref = codec.encode(img, ps)
+        t_sh = time.time() - t0
+        result["codec8_strict_tpu_encode_s"] = round(t_se, 4)
+        result["codec8_strict_host_encode_s"] = round(t_sh, 4)
+        result["codec8_strict_tpu_speedup"] = round(t_sh / t_se, 2)
+    except _CompileTimeout:
+        result["codec8_strict_tpu"] = "skipped: remote-compile stall"
+
     # scaling section
     scaling = {"batch16_speedup_vs_single":
                round((t_enc1 + t_dec1) / ((t_benc + t_bdec) / B), 3)}

@@ -65,11 +65,12 @@ def cmd_compress(args):
         raw = gray.size * (2 if maxval > 255 else 1)
     else:
         img = pnm.read_pbm(args.input)
-        # strict-mode device scan compiles very slowly through the axon
-        # remote-compile tunnel; default it to the host path unless the
-        # user explicitly asks for the TPU backend
+        from .ops import pallas_strict
         if args.codec == 8 and args.mode == "strict" \
-                and args.backend == "tpu":
+                and args.backend in ("auto", "tpu") \
+                and pallas_strict.supported(args.W, args.R):
+            # the strict residual-substitution chain runs as one Pallas
+            # kernel with the working plane resident in VMEM
             blob = compress.encode_strict(img, params)
         elif args.codec == 8 and args.mode == "causal" \
                 and args.backend in ("auto", "tpu"):

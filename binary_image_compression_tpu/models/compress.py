@@ -492,7 +492,11 @@ def encode_analyze_strict(img_bits, *, W: int, R: int, T_thresh: int,
 
 def encode_strict(img: np.ndarray, params: CodecParams | None = None
                   ) -> bytes:
-    """TPU strict-mode encode; byte-identical to codec.encode(strict=True)."""
+    """TPU strict-mode encode; byte-identical to codec.encode(strict=True).
+
+    The residual-substitution chain runs as one Pallas kernel with the
+    working field plane resident in VMEM (ops/pallas_strict) whenever the
+    geometry allows; otherwise the round-1 lax.scan formulation."""
     params = params or CodecParams(codec=8, strict=True)
     assert params.codec == 8 and params.strict
     img = np.asarray(img, dtype=bool)
@@ -501,9 +505,15 @@ def encode_strict(img: np.ndarray, params: CodecParams | None = None
     ny, nx = -(-rows // W), -(-cols // W)
     grid = np.zeros((ny * W, nx * W), dtype=np.int8)
     grid[:rows, :cols] = img
-    out = jax.device_get(encode_analyze_strict(
-        jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
-        rows=rows, cols=cols))
+    from ..ops import pallas_strict
+    if pallas_strict.supported(W, R):
+        out = jax.device_get(pallas_strict.strict_analyze(
+            jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
+            rows=rows, cols=cols, invert=True, use_pred=True))
+    else:
+        out = jax.device_get(encode_analyze_strict(
+            jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
+            rows=rows, cols=cols))
     M = W * W
     hdr = _header(params, rows, cols, image_crc(img))
     res_bits = bitpack.np_unpack(out["residual"], M)

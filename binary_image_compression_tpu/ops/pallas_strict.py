@@ -1,0 +1,309 @@
+"""Strict-mode (residual-substitution) windowed encode as ONE Pallas kernel.
+
+The reference's compress4..8 semantics: each coded tile is replaced in the
+working image by its residual, so later tiles search a mutated image
+(compress8_test.cpp:294-300) — an inherently serial chain.  Round 1
+expressed it as a lax.scan whose carry was the whole working image; XLA
+compiled it pathologically (minutes) and executed it slowly, so strict mode
+was effectively host-only.
+
+Here the chain runs inside a single Mosaic kernel instead:
+
+* the working image lives in VMEM for the whole encode as a FIELD plane
+  E[y, x] = the W-bit row segment work[y, x:x+W] packed in a uint32 lane
+  (the pixel at (y, x) is its MSB, bit W-1);
+* the kernel grid is the ny tile rows — sequential on a TPU core — with a
+  fori loop over the nx tiles of the row inside each step; VMEM/SMEM
+  scratch (field plane, Golomb contexts) persists across grid steps;
+* per tile: distances to every candidate = sum_a popcount(band_roll_a ^
+  tile_field_a) over a row band re-read from the live plane (strict mode:
+  earlier tiles of the SAME row already mutated it), selection via the
+  shared in-register serial-scan semantics
+  (pallas_kernels._selection_scalars), the 4-way mode decision against two
+  adaptive Golomb contexts (GolombCoder.cpp:29-33 exactly, 32-bit
+  wraparound included), and the residual substituted back by rebuilding the
+  touched field rows;
+* outputs: 8 decision scalars + the W residual field rows per tile; the
+  host packs records with native bic_pack_tiles — byte-identical streams
+  to codec.encode(strict=True) (tests/test_pallas_strict.py).
+
+Constraints: W in {8, 16, 24, 32} and R % 8 == 0 (band offsets stay
+sublane-aligned, fields fit a uint32 lane); models/compress.encode_strict
+falls back to the host encoder otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _field_plane, _selection_scalars
+
+
+def supported(W: int, R: int) -> bool:
+    return W in (8, 16, 24, 32) and R % 8 == 0 and R >= 8
+
+
+def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
+                   rows: int, cols: int, invert: bool = True,
+                   use_pred: bool = True,
+                   interpret: bool | None = None):
+    """Full strict-mode encoder analysis on device (one compiled program).
+
+    img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Returns the per-tile dict
+    models/compress.encode_strict packs (mode, rank, n_cands, inv, weight,
+    k_used, idx_len, residual packed uint32)."""
+    assert supported(W, R), (W, R)
+    img = jnp.asarray(img_bits, jnp.uint32)
+    gh, gw = img.shape
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    fn = _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
+                 interpret)
+    outs, res_packed = fn(img)
+    return dict(mode=outs[:, 0], rank=outs[:, 1],
+                n_cands=outs[:, 5], inv=outs[:, 2].astype(jnp.bool_),
+                weight=outs[:, 3], k_used=outs[:, 4],
+                idx_len=outs[:, 6], residual=res_packed)
+
+
+@lru_cache(maxsize=16)
+def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
+            interpret):
+    ny, nx = gh // W, gw // W
+    T = ny * nx
+    M = W * W
+    wh = R + 1
+    bh = R + W
+    Hp = gh - W + 1
+    pad_h = max(0, wh - Hp)
+    He = -(-max(gh + pad_h, bh) // 8) * 8
+    We = gw
+
+    from ..ops.bitstream import enum_nbits
+    enb = jnp.asarray([enum_nbits(M, w_) for w_ in range(M + 1)], jnp.int32)
+    oy_rows = np.clip(np.arange(ny, dtype=np.int32) * W - R, 0,
+                      max(Hp + pad_h - wh, 0)).astype(np.int32)
+    assert (oy_rows % 8 == 0).all()
+    oy_rows = jnp.asarray(oy_rows)
+    j0_row = jnp.arange(nx, dtype=jnp.int32) * W
+
+    kernel = _make_kernel(W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
+                          invert=invert, use_pred=use_pred, nx=nx,
+                          bh=bh, He=He, We=We, interpret=interpret)
+    vmem = pl.ANY if interpret else pltpu.VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # oy_rows [ny], j0_row [nx], enb [M+1]
+        grid=(ny,),
+        in_specs=[
+            pl.BlockSpec((He, We), lambda r, *_: (0, 0), memory_space=vmem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nx, 8), lambda r, *_: (r, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, nx, W), lambda r, *_: (r, 0, 0),
+                         memory_space=vmem),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((He, We), jnp.uint32),   # live field plane
+            pltpu.SMEM((8,), jnp.uint32),       # gm/gn contexts
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ny, nx, 8), jnp.int32),
+                   jax.ShapeDtypeStruct((ny, nx, W), jnp.uint32)],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(img):
+        E0 = _field_plane(img, W, He, We)
+        outs, resf = call(oy_rows, j0_row, enb, E0)
+        outs = outs.reshape(T, 8)
+        resf = resf.reshape(T, W)
+        from . import bitpack
+        shifts = jnp.arange(W, dtype=jnp.uint32)
+        res_bits = ((resf[:, :, None] >> (W - 1 - shifts)[None, None, :])
+                    & jnp.uint32(1)).reshape(T, M)
+        return outs, bitpack.pack(res_bits.astype(jnp.bool_))
+
+    return run
+
+
+def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
+                 bh, He, We, interpret):
+    # numpy scalars: jnp constants created outside the traced kernel would
+    # be closure captures, which pallas rejects
+    wmask = np.uint32((1 << W) - 1)
+    U32 = np.uint32(0xFFFFFFFF)
+
+    def roll_rows(x, shift):  # x[a] <- x[a + shift] (wrap)
+        if interpret:
+            return jnp.roll(x, -shift, axis=0)
+        return x if shift == 0 else pltpu.roll(x, x.shape[0] - shift, axis=0)
+
+    def roll_lanes(x, shift):  # x[.., i] <- x[.., i + shift] (wrap)
+        if interpret:
+            return jnp.roll(x, -shift, axis=-1)
+        return x if shift == 0 else pltpu.roll(x, x.shape[-1] - shift,
+                                               axis=x.ndim - 1)
+
+    def golomb_cost(k, u):
+        return k.astype(jnp.int32) + (u >> k.astype(jnp.int32)) + 1
+
+    def golomb_update(acc, n, u):
+        # GolombCoder.cpp:29-33 with C unsigned-32 wraparound
+        n = (n + jnp.uint32(1)) & U32
+        acc = (acc + u.astype(jnp.uint32)) & U32
+
+        def body(kk, st):
+            k, done = st
+            shifted = (n << jnp.uint32(kk)) & U32
+            hit = (~done) & (shifted >= acc)
+            k = jnp.where(hit, jnp.uint32(kk), k)
+            return k, done | hit
+
+        k, _ = lax.fori_loop(0, 32, body, (jnp.uint32(31), jnp.bool_(False)))
+        return acc, n, k
+
+    def kernel(oy_ref, j0_ref, enb_ref, e0_ref, out_ref, res_ref, ev, gctx):
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _init():
+            ev[:, :] = e0_ref[:, :]
+            for i in range(8):
+                gctx[i] = jnp.uint32(0)
+            gctx[2] = jnp.uint32(1)   # gm.k (Golomb.h ctor)
+            gctx[5] = jnp.uint32(1)   # gn.k
+
+        oy = pl.multiple_of(oy_ref[r], 8)
+        i0 = pl.multiple_of(r * W, 8)
+        xsel = lax.broadcasted_iota(jnp.int32, (1, We), 1)      # [1, We]
+        rsel = lax.broadcasted_iota(jnp.int32, (bh, 1), 0)      # [bh, 1]
+
+        def tile_body(t, carry):
+            j0 = j0_ref[t]
+            band = ev[pl.ds(oy, bh), :]                         # [bh, We]
+            tilerows = ev[pl.ds(i0, W), :]                      # [W, We]
+            # Mosaic has no unsigned reductions: masked single-element
+            # sums run in int32 (bit patterns survive the round trip)
+            selj = (xsel == j0).astype(jnp.int32)                # [1, We]
+            trow = (tilerows.astype(jnp.int32) * selj).sum(
+                axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
+
+            acc = jnp.zeros((bh, We), jnp.int32)
+            for a in range(W):
+                f = roll_rows(band, a) ^ trow[a, 0]
+                acc = acc + lax.population_count(f).astype(jnp.int32)
+
+            outs = _selection_scalars(
+                acc, i0, j0, oy, jnp.int32(0), W=W, R=R, T_thresh=T_thresh,
+                rows=rows, cols=cols, invert=invert, h=bh, w=We)
+            (bestd, dy, binv, found, rank, n_cands, has_c, dx) = outs
+
+            # candidate fields: band rows dy..dy+W-1 at lane dx
+            seld = (xsel == dx).astype(jnp.int32)                # [1, We]
+            colvals = (band.astype(jnp.int32) * seld).sum(
+                axis=1, keepdims=True)                           # [bh, 1]
+            a2 = lax.broadcasted_iota(jnp.int32, (W, 1), 0)     # [W, 1]
+            pick = (rsel.reshape(1, bh) == (dy + a2))           # [W, bh]
+            p2 = (pick.astype(jnp.int32)
+                  * colvals.reshape(1, bh)).sum(
+                axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
+
+            p = trow & wmask
+            p2 = p2 & wmask
+            inv_b = binv.astype(jnp.bool_)
+            pm = jnp.where(inv_b, p ^ wmask, p)
+            p3 = (pm ^ p2) & wmask
+
+            row0 = lax.broadcasted_iota(jnp.int32, (W, 1), 0) == 0
+
+            def med_fields(q):  # [W, 1] fields -> MED residual fields
+                up = jnp.where(row0, jnp.uint32(0), roll_rows(q, W - 1))
+                return (q ^ up ^ (q >> 1) ^ (up >> 1)) & wmask
+
+            dp3 = med_fields(p3)
+            dp = med_fields(p)
+
+            def wt(q):
+                return lax.population_count(q).astype(jnp.int32).sum()
+
+            w_mnp, w_mp = wt(p3), wt(dp3)
+            w_nnp, w_np_ = wt(p), wt(dp)
+
+            il = jnp.where(
+                n_cands > 0,
+                jnp.maximum(1, jnp.ceil(jnp.log2(jnp.maximum(
+                    n_cands, 1).astype(jnp.float32))).astype(jnp.int32)),
+                0)
+
+            gm_acc, gm_n, gm_k = gctx[0], gctx[1], gctx[2]
+            gn_acc, gn_n, gn_k = gctx[3], gctx[4], gctx[5]
+            BIG = jnp.int32(1 << 28)
+            mcost = 1 + (1 if use_pred else 0) + (1 if invert else 0)
+            ncost = 1 + (1 if use_pred else 0)
+            hc = has_c.astype(jnp.bool_)
+            c0 = jnp.where(hc, mcost + il + golomb_cost(gm_k, w_mnp)
+                           + enb_ref[w_mnp], BIG)
+            c1 = jnp.where(hc, mcost + il + golomb_cost(gm_k, w_mp)
+                           + enb_ref[w_mp], BIG) if use_pred else BIG
+            c2 = ncost + golomb_cost(gn_k, w_nnp) + enb_ref[w_nnp]
+            c3 = (ncost + golomb_cost(gn_k, w_np_) + enb_ref[w_np_]
+                  if use_pred else BIG)
+            # first-minimum argmin over the 4 costs, scalar math
+            mode = jnp.int32(0)
+            best = c0
+            for m, c in ((1, c1), (2, c2), (3, c3)):
+                better = c < best
+                mode = jnp.where(better, jnp.int32(m), mode)
+                best = jnp.where(better, c, best)
+            is_match = mode < 2
+            weight = jnp.where(
+                mode == 0, w_mnp, jnp.where(
+                    mode == 1, w_mp, jnp.where(mode == 2, w_nnp, w_np_)))
+            k_used = jnp.where(is_match, gm_k, gn_k).astype(jnp.int32)
+            gm2 = golomb_update(gm_acc, gm_n, weight)
+            gn2 = golomb_update(gn_acc, gn_n, weight)
+            gctx[0] = jnp.where(is_match, gm2[0], gm_acc)
+            gctx[1] = jnp.where(is_match, gm2[1], gm_n)
+            gctx[2] = jnp.where(is_match, gm2[2], gm_k)
+            gctx[3] = jnp.where(is_match, gn_acc, gn2[0])
+            gctx[4] = jnp.where(is_match, gn_n, gn2[1])
+            gctx[5] = jnp.where(is_match, gn_k, gn2[2])
+
+            res = jnp.where(
+                mode == 0, p3, jnp.where(
+                    mode == 1, dp3, jnp.where(mode == 2, p, dp)))  # [W, 1]
+
+            # ---- residual substitution: rebuild the W touched rows ------
+            pixrows = (tilerows >> jnp.uint32(W - 1)) & jnp.uint32(1)
+            rel = xsel - j0                                     # [1, We]
+            shift = jnp.clip(W - 1 - rel, 0, 31).astype(jnp.uint32)
+            in_tile = (rel >= 0) & (rel < W)
+            resbits = (res >> shift) & jnp.uint32(1)            # [W, We]
+            pixrows = jnp.where(in_tile, resbits, pixrows)
+            newE = jnp.zeros((W, We), jnp.uint32)
+            for c in range(W):
+                newE = newE | (roll_lanes(pixrows, c)
+                               << jnp.uint32(W - 1 - c))
+            ev[pl.ds(i0, W), :] = newE
+
+            out_ref[0, pl.ds(t, 1), :] = jnp.stack(
+                [mode, rank, binv, weight, k_used, n_cands, il,
+                 bestd]).astype(jnp.int32).reshape(1, 8)
+            res_ref[0, pl.ds(t, 1), :] = res.reshape(1, W)
+            return carry
+
+        lax.fori_loop(0, nx, tile_body, jnp.int32(0))
+
+    return kernel

@@ -1,0 +1,48 @@
+"""Strict-mode Pallas kernel: byte parity with the host strict encoder.
+
+The residual-substitution chain (compress8_test.cpp:294-300) runs entirely
+inside one Mosaic kernel (ops/pallas_strict); streams must equal
+codec.encode(strict=True) bit-for-bit, including the adaptive Golomb
+context replay and the in-place residual feedback into later searches."""
+
+import os
+
+import numpy as np
+import pytest
+
+from binary_image_compression_tpu.models import codec, compress
+from binary_image_compression_tpu.ops import pallas_strict
+from binary_image_compression_tpu.utils import pnm
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("image,W,R", [("text64.pbm", 8, 16),
+                                       ("text64.pbm", 8, 32),
+                                       ("ragged75x101.pbm", 8, 24)])
+def test_strict_kernel_matches_host(image, W, R):
+    img = pnm.read_pbm(os.path.join(FIX, image))
+    p = codec.CodecParams(codec=8, W=W, R=R, strict=True)
+    assert pallas_strict.supported(W, R)
+    tpu = compress.encode_strict(img, p)
+    assert tpu == codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(tpu), img)
+
+
+def test_strict_kernel_residual_feedback(rng):
+    """An image with repeated tiles forces matches whose residuals earlier
+    tiles substituted — exercising the live-plane mutation path."""
+    base = (rng.rand(16, 16) < 0.4)
+    img = np.tile(base, (6, 6))
+    img[40:48, 40:48] ^= True
+    p = codec.CodecParams(codec=8, W=8, R=40, strict=True)
+    tpu = compress.encode_strict(img, p)
+    assert tpu == codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(tpu), img)
+
+
+def test_strict_unsupported_geometry_falls_back():
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    p = codec.CodecParams(codec=8, W=8, R=12, strict=True)  # R % 8 != 0
+    assert not pallas_strict.supported(8, 12)
+    assert compress.encode_strict(img, p) == codec.encode(img, p)
