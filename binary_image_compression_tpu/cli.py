@@ -36,6 +36,8 @@ def _add_codec_opts(p):
                         "original-pixel refs (parallel, usually smaller)")
     p.add_argument("--backend", choices=["auto", "host", "tpu"],
                    default="auto")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage wall clock + MB/s")
 
 
 def cmd_compress(args):
@@ -74,7 +76,13 @@ def cmd_compress(args):
             blob = compress.encode_strict(img, params)
         elif args.codec == 8 and args.mode == "causal" \
                 and args.backend in ("auto", "tpu"):
-            blob = compress.encode(img, params)
+            prof = None
+            if getattr(args, "profile", False):
+                from .utils.profiling import PipelineProfile
+                prof = PipelineProfile()
+            blob = compress.encode(img, params, profile=prof)
+            if prof is not None:
+                print(prof.report())
         else:
             blob = codec.encode(img, params)
         raw = img.size // 8

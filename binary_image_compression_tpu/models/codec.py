@@ -408,17 +408,26 @@ def _encode_dict(img, params) -> bytes:
     w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
     gm, gn = GolombCoder(), GolombCoder()
     dictionary: list[tuple[int, int]] = []
+    # vectorized search: tiles as flat rows, dictionary as a growing row
+    # bank; one [|dict|]-wide XOR-popcount per tile replaces the per-entry
+    # Python loop (serial scan semantics preserved: first strict minimum)
+    tiles_flat = grid.reshape(ny, W, nx, W).swapaxes(1, 2).reshape(
+        ny * nx, M).astype(np.uint8)
+    dict_rows = np.zeros((ny * nx, M), dtype=np.uint8)
+    li = 0
     for ti in range(ny):
         for tj in range(nx):
             i0, j0 = ti * W, tj * W
             P = grid[i0:i0 + W, j0:j0 + W]
-            bestk, bestd = 0, M + 1
-            for k, (ci, cj) in enumerate(dictionary):
-                d = int((grid[ci:ci + W, cj:cj + W] ^ P).sum(dtype=np.int32))
-                if d < bestd:
-                    bestd, bestk = d, k
-                if bestd == 0:
-                    break
+            Pf = tiles_flat[li]
+            nd = len(dictionary)
+            if nd:
+                ds = (dict_rows[:nd] ^ Pf[None, :]).sum(axis=1,
+                                                        dtype=np.int32)
+                bestk = int(np.argmin(ds))
+                bestd = int(ds[bestk])
+            else:
+                bestk, bestd = 0, M + 1
             wP = int(P.sum())
             idx_len = max(1, (len(dictionary) - 1).bit_length()) \
                 if dictionary else 0
@@ -440,12 +449,11 @@ def _encode_dict(img, params) -> bytes:
                 gn.code_sample(wP)
                 enum_encode(w, P.astype(bool))
             # dictionary update rule (decoder replays it identically)
-            if add_rule_threshold:
-                if bestd > T:
-                    dictionary.append((i0, j0))
-            else:
-                if not use_match:
-                    dictionary.append((i0, j0))
+            if (add_rule_threshold and bestd > T) or \
+                    (not add_rule_threshold and not use_match):
+                dict_rows[len(dictionary)] = Pf
+                dictionary.append((i0, j0))
+            li += 1
     return w.getvalue()
 
 
@@ -455,6 +463,7 @@ def _decode_dict(r, codec, W, rows, cols, T):
     grid = np.zeros((ny * W, nx * W), dtype=np.uint8)
     gm, gn = GolombCoder(), GolombCoder()
     dictionary: list[tuple[int, int]] = []
+    dict_rows = np.zeros((ny * nx, M), dtype=np.uint8)
     add_rule_threshold = codec == 3
     for ti in range(ny):
         for tj in range(nx):
@@ -474,20 +483,21 @@ def _decode_dict(r, codec, W, rows, cols, T):
                 gn.code_sample(wt)
                 P = enum_decode(r, M, wt).reshape(W, W).astype(np.uint8)
             grid[i0:i0 + W, j0:j0 + W] = P
-            # replay dictionary evolution: need bestd for the threshold rule
+            # replay dictionary evolution (vectorized, same serial outcome)
             if add_rule_threshold:
-                bestd = M + 1
-                for (ci, cj) in dictionary:
-                    d = int((grid[ci:ci + W, cj:cj + W]
-                             ^ P).sum(dtype=np.int32))
-                    if d < bestd:
-                        bestd = d
-                    if bestd == 0:
-                        break
+                nd = len(dictionary)
+                if nd:
+                    ds = (dict_rows[:nd] ^ P.reshape(M)[None, :]).sum(
+                        axis=1, dtype=np.int32)
+                    bestd = int(ds.min())
+                else:
+                    bestd = M + 1
                 if bestd > T:
+                    dict_rows[nd] = P.reshape(M)
                     dictionary.append((i0, j0))
             else:
                 if not match:
+                    dict_rows[len(dictionary)] = P.reshape(M)
                     dictionary.append((i0, j0))
     return grid[:rows, :cols].astype(bool)
 

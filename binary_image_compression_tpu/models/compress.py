@@ -231,9 +231,15 @@ def _decide_modes(out, M, codec_id=8):
     return mode, weight, k_used
 
 
-def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
+def encode(img: np.ndarray, params: CodecParams | None = None,
+           profile=None) -> bytes:
     """Full TPU-path encode (causal mode, codec 8): device analysis + host
-    bit assembly.  Byte-identical to models/codec.encode(strict=False)."""
+    bit assembly.  Byte-identical to models/codec.encode(strict=False).
+
+    profile: optional utils.profiling.PipelineProfile collecting per-stage
+    wall clock + bandwidth (`bic compress --profile`)."""
+    from ..utils.profiling import PipelineProfile
+    prof = profile if profile is not None else PipelineProfile()
     params = params or CodecParams(codec=8, strict=False)
     assert params.codec in (4, 7, 8) and not params.strict, \
         "TPU path implements codecs 4/7/8 in causal mode"
@@ -241,17 +247,21 @@ def encode(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     rows, cols = img.shape
     W, R = params.W, params.R
     ny, nx = -(-rows // W), -(-cols // W)
-    grid = np.zeros((ny * W, nx * W), dtype=np.int8)
-    grid[:rows, :cols] = img
-    out = encode_analyze(jnp.asarray(grid), W=W, R=R,
-                         T_thresh=params.resolved_T(), rows=rows, cols=cols,
-                         invert=params.codec == 8)
-    # one batched transfer: per-array np.asarray costs ~25ms/buffer of
-    # round-trip latency through the remote-TPU tunnel
-    out = jax.device_get(out)
+    with prof.stage("grid_prep", rows * cols // 8):
+        grid = np.zeros((ny * W, nx * W), dtype=np.int8)
+        grid[:rows, :cols] = img
+        gdev = jnp.asarray(grid)
+    with prof.stage("device_analysis"):
+        out = encode_analyze(gdev, W=W, R=R, T_thresh=params.resolved_T(),
+                             rows=rows, cols=cols, invert=params.codec == 8)
+        # one batched transfer: per-array fetches pay ~ms-scale round trips
+        # through the remote-TPU tunnel
+        out = jax.device_get(out)
     M = W * W
-    hdr = _header(params, rows, cols, image_crc(img))
-    return _assemble(out, hdr, M, ny * nx, params.codec)
+    with prof.stage("native_pack"):
+        hdr = _header(params, rows, cols, image_crc(img))
+        blob = _assemble(out, hdr, M, ny * nx, params.codec)
+    return blob
 
 
 def _assemble(out, hdr, M, T, codec_id=8):
