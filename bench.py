@@ -202,6 +202,21 @@ def main():
     result["vs_baseline"] = (round(ref_s * B / (t_benc + t_bdec), 3)
                              if ref_s else None)
 
+    # bitplane/PGM pipeline (BASELINE config #2): 8 planes batched through
+    # the device MED + native EG runs, vs the host path
+    gray = (np.cumsum(img, axis=1) * 7 % 256).astype(np.uint32)
+    p10b = codec.CodecParams(codec=10, W=0, T=0, R=0)
+    gb = codec.encode_pgm(gray, 255, p10b, backend="tpu")   # warm/compile
+    g2, _ = codec.decode_pgm(gb)
+    assert (g2 == gray).all()
+    assert gb == codec.encode_pgm(gray, 255, p10b, backend="host")
+    t0 = time.time()
+    for _ in range(5):
+        codec.decode_pgm(codec.encode_pgm(gray, 255, p10b, backend="tpu"))
+    t_pgm = (time.time() - t0) / 5
+    result["pgm8_tpu_mps"] = round(8 * mp / t_pgm, 3)  # 8 coded bitplanes
+    result["pgm8_bytes"] = len(gb)
+
     # strict mode (residual substitution): the serial reference semantics
     # as one VMEM-resident Pallas kernel, vs the native host encoder
     signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))

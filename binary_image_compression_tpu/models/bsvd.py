@@ -52,7 +52,8 @@ def distances_to_atoms(E, D, impl: str = "mxu"):
     (ops/pallas_kernels.packed_dist_matrix) — 32x less memory traffic; wins
     for wide rows (M >= ~1024), loses to the MXU for small M (see
     scripts/bench_bsvd.py)."""
-    if impl == "packed":
+    if impl == "packed" and E.shape[1] <= 64 * 32:
+        # wider rows exceed the packed kernel's VMEM scope; use the MXU
         from ..ops import bitpack, pallas_kernels
         Ep = bitpack.pack(E.astype(jnp.bool_))
         Dp = bitpack.pack(D.astype(jnp.bool_))
@@ -359,6 +360,66 @@ def learn(X, K: int, init: str = "neighbor", dict_update: str = "steepest",
     D, A = INITIALIZERS[init](key, X, K)
     return learn_from(X, D, A, dict_update=dict_update,
                       max_iters=max_iters, distances=distances)
+
+
+@partial(jax.jit, static_argnames=("K", "init", "variant", "dict_update",
+                                   "max_iters"))
+def learn_alter(X, K: int, init: str = "neighbor", variant: int = 1,
+                dict_update: str = "steepest", max_iters: int = 10,
+                seed: int = 34503498):
+    """Role-switching learning loops (learn_model_alter1/2/3,
+    bsvd.cpp:1247-1434) on device.
+
+    The transposed model treats A^T as the dictionary of the transposed
+    residual (X^T ~ D^T A^T): variant 1 alternates a direct update pass
+    with a transposed pass each outer iteration; variant 2 runs each
+    orientation to convergence before switching; variant 3 applies only the
+    dictionary update in both orientations (the reference's
+    'for use with Proximus' mode).  Returns (E, D, A, iters)."""
+    key = jax.random.PRNGKey(seed)
+    D, A = INITIALIZERS[init](key, X, K)
+    E = residual(X, D, A)
+
+    def direct(E, D, A):
+        E, A, c1 = update_coefficients(E, D, A)
+        if dict_update == "proximus":
+            E, D, A, c2 = update_dictionary_proximus(E, D, A)
+        else:
+            E, D, c2 = update_dictionary_steepest(E, D, A)
+        return E, D, A, c1 + c2
+
+    def transposed(E, D, A):
+        Et, Dt, At = E.T, A.T, D.T   # role switch: dict' = A^T
+        if variant != 3:
+            Et, At2, _ = update_coefficients(Et, Dt, At)
+            At = At2
+        if dict_update == "proximus":
+            Et, Dt, At, ch = update_dictionary_proximus(Et, Dt, At)
+        else:
+            Et, Dt, ch = update_dictionary_steepest(Et, Dt, At)
+        return Et.T, At.T, Dt.T, ch
+
+    def body(state):
+        E, D, A, it, _ = state
+        if variant == 3:
+            E, D, A, ch1 = transposed(E, D, A)
+            if dict_update == "proximus":
+                E, D, A, ch2 = update_dictionary_proximus(E, D, A)
+            else:
+                E, D, ch2 = update_dictionary_steepest(E, D, A)
+        else:
+            E, D, A, ch1 = direct(E, D, A)
+            E, D, A, ch2 = transposed(E, D, A)
+        return E, D, A, it + 1, ch1 + ch2
+
+    def cond(state):
+        _, _, _, it, changed = state
+        return (changed > 0) & (it < max_iters)
+
+    E, D, A, iters, _ = lax.while_loop(
+        cond, body, (E, D, A, jnp.int32(0), jnp.int32(1)))
+    # re-derive E so the invariant E == X ^ AD holds exactly on exit
+    return residual(X, D, A), D, A, iters
 
 
 def learn_mdl_forward(X, K0: int = 4, init: str = "neighbor",

@@ -856,12 +856,13 @@ PPM_MAGIC = b"BICC"
 
 
 def encode_ppm(rgb_packed: np.ndarray, maxval: int,
-               params: CodecParams | None = None) -> bytes:
+               params: CodecParams | None = None, *,
+               backend: str = "host") -> bytes:
     """Color codec: 0xRRGGBB-packed uint32 [rows, cols] (the reference's
     pixel_t layout, pnm.cpp:214) -> three per-channel bitplane streams."""
     img = np.asarray(rgb_packed, dtype=np.uint32)
     chans = [(img >> 16) & 0xFF, (img >> 8) & 0xFF, img & 0xFF]
-    blobs = [encode_pgm(c, maxval, params) for c in chans]
+    blobs = [encode_pgm(c, maxval, params, backend=backend) for c in chans]
     out = bytearray(PPM_MAGIC)
     out += struct.pack("<H", maxval)
     for b in blobs:

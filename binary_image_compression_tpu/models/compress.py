@@ -318,31 +318,33 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
     grid[:, :rows, :cols] = pages
     T_thresh = params.resolved_T()
 
+    M = W * W
+    Tn = ny * nx
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     if vmapped:
         analyze = jax.vmap(lambda im: encode_analyze(
             im, W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols))
         out = jax.device_get(analyze(jnp.asarray(grid)))
+
+        def build(b):
+            hdr = _header(params, rows, cols, image_crc(pages[b]))
+            per_page = {k: v[b] for k, v in out.items()}
+            return _assemble(per_page, hdr, M, Tn)
     else:
-        # enqueue all pages asynchronously (device pipelines the kernels),
-        # then one batched device_get for every page's outputs
+        # enqueue every page's analysis (the device pipelines the kernels),
+        # then fetch+pack per page from a thread pool so the host tail —
+        # D2H transfer, CRC, native decide_pack (GIL-dropping) — overlaps
+        # the device work of later pages
         gjs = [jnp.asarray(grid[b]) for b in range(B)]
         handles = [encode_analyze(g, W=W, R=R, T_thresh=T_thresh,
                                   rows=rows, cols=cols) for g in gjs]
-        fetched = jax.device_get(handles)
-        out = {k: np.stack([f[k] for f in fetched]) for k in fetched[0]}
 
-    M = W * W
-    Tn = ny * nx
-
-    # host tail in parallel across pages: the native decide_pack call
-    # releases the GIL, so a thread pool uses every host core
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
-    def build(b):
-        hdr = _header(params, rows, cols, image_crc(pages[b]))
-        per_page = {k: v[b] for k, v in out.items()}
-        return _assemble(per_page, hdr, M, Tn)
+        def build(b):
+            per_page = jax.device_get(handles[b])
+            hdr = _header(params, rows, cols, image_crc(pages[b]))
+            return _assemble(per_page, hdr, M, Tn)
 
     workers = min(B, os.cpu_count() or 1)
     if workers <= 1:

@@ -19,23 +19,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dist_kernel(a_ref, b_ref, out_ref):
-    """out[i, k] = sum_w popcount(a[i, w] ^ b[k, w]).
+    """out[i, k] += sum_w popcount(a[i, w] ^ b[k, w]) over this word chunk.
 
-    a block: [BN, Wd] uint32; b: [K, Wd] uint32 (whole dictionary in VMEM);
-    out block: [BN, K] int32.  The word loop is unrolled at trace time: each
-    step is a [BN, K] VPU xor+popcount+add — lane-aligned, no transposes.
+    a block: [BN, WC] uint32; b: [K, WC] uint32; out block: [BN, K] int32,
+    revisited across the word-chunk grid dimension (zeroed at chunk 0).
+    Each step is a [BN, K] VPU xor+popcount+add — lane-aligned, no
+    transposes; chunking the word axis bounds live temporaries so wide rows
+    (M >= 4096) stay inside the VMEM scope.
     """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, dtype=jnp.int32)
+
     nwords = a_ref.shape[1]
-    acc = jnp.zeros(out_ref.shape, dtype=jnp.int32)
     for w in range(nwords):
         aw = a_ref[:, w][:, None]          # [BN, 1]
         bw = b_ref[:, w][None, :]          # [1, K]
         x = jnp.bitwise_xor(aw, bw)        # [BN, K] uint32
-        acc = acc + lax.population_count(x).astype(jnp.int32)
-    out_ref[:] = acc
+        out_ref[:] = out_ref[:] + lax.population_count(x).astype(jnp.int32)
 
 
-def packed_dist_matrix(a, b, *, block_n: int = 256,
+def packed_dist_matrix(a, b, *, block_n: int = 256, block_w: int = 16,
                        interpret: bool | None = None):
     """All-pairs Hamming distances between packed rows, fully packed-domain.
 
@@ -49,23 +53,30 @@ def packed_dist_matrix(a, b, *, block_n: int = 256,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     bn = min(block_n, N)
-    # pad N to a multiple of the block
+    # Mosaic block rule: the word (lane) block must equal the full word
+    # axis or be a multiple of 128.  The unrolled word loop keeps ~Wd
+    # [bn, K] temporaries alive, so very wide rows (Wd >= 128, M >= 4096)
+    # blow the 16 MB VMEM scope — callers (bsvd.distances_to_atoms) fall
+    # back to the MXU matmul there; the codec patch sizes (M = W^2 <= 1024)
+    # are all comfortably inside.
+    wc = Wd if Wd <= 128 or Wd % 128 else 128
+    del block_w
     npad = -N % bn
-    if npad:
-        a = jnp.pad(a, ((0, npad), (0, 0)))
-    grid = ((N + npad) // bn,)
+    wpad = -Wd % wc
+    if npad or wpad:
+        a = jnp.pad(a, ((0, npad), (0, wpad)))
+        b = jnp.pad(b, ((0, 0), (0, wpad)))
+    grid = ((Wd + wpad) // wc, (N + npad) // bn)
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _dist_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, Wd), lambda i: (i, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((K, Wd), lambda i: (0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((bn, wc), lambda c, i: (i, c), memory_space=mem),
+            pl.BlockSpec((K, wc), lambda c, i: (0, c), memory_space=mem),
         ],
-        out_specs=pl.BlockSpec((bn, K), lambda i: (i, 0),
-                               memory_space=pl.ANY if interpret
-                               else pltpu.VMEM),
+        out_specs=pl.BlockSpec((bn, K), lambda c, i: (i, 0),
+                               memory_space=mem),
         out_shape=jax.ShapeDtypeStruct((N + npad, K), jnp.int32),
         interpret=interpret,
     )(a, b)
@@ -115,7 +126,6 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
     (the reference serial-scan semantics: early exit at T in scan order,
     strict-< argmin, duplicate y=i0-W row enumerated by both grids)."""
     M = W * W
-    maxy = rows - W
     maxx = cols - W
     span = cols + 1
     off1 = (W + 2) * span
@@ -128,10 +138,12 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
     mini = jnp.maximum(i0 - R, 0)
     maxj = jnp.minimum(j0 + R, maxx)
 
-    inb = (yy <= maxy) & (xx <= maxx)
-    in1 = inb & (yy >= mini2) & (yy <= i0) & (xx >= minj) \
+    # no y bound: grid-1 candidates of bottom-edge tiles extend into the
+    # zero-padded rows, exactly as the host/native enumeration does
+    # (see ops/search.scan_keys); the x bounds are already tight
+    in1 = (yy >= mini2) & (yy <= i0) & (xx >= minj) \
         & (xx <= maxj2) & (j0 >= W)
-    in2 = inb & (yy >= mini) & (yy <= i0 - W) & (xx >= minj) \
+    in2 = (yy >= mini) & (yy <= i0 - W) & (xx >= minj) \
         & (xx <= maxj)
     ord1 = (i0 - yy) * span + (maxj2 - xx)
     ord2 = off1 + (i0 - W - yy) * span + (maxj - xx)

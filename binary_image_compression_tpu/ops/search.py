@@ -102,7 +102,6 @@ def scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int,
     x = ox[:, None, None] + xx
     i0b = i0[:, None, None]
     j0b = j0[:, None, None]
-    maxy = rows - W
     maxx = cols - W
 
     mini2 = jnp.maximum(i0b - W, 0)
@@ -111,11 +110,17 @@ def scan_keys(i0, j0, oy, ox, dshape, W: int, R: int, cols: int, rows: int,
     mini = jnp.maximum(i0b - R, 0)
     maxj = jnp.minimum(j0b + R, maxx)
 
-    inb = (y <= maxy) & (x <= maxx)
-    in1 = inb & (y >= mini2) & (y <= i0b) & (x >= minj) & (x <= maxj2)
+    # NOTE: no y <= rows-W bound — the host enumeration (window_candidates,
+    # native geom) lets grid-1 candidates extend into the zero-padded tile
+    # rows exactly as the reference's get_submatrix does, and bottom-edge
+    # tiles DO select them (a y-bound here silently shifted ranks on
+    # ragged-height images; caught by the strict-mode fuzz in round 2).
+    # x needs no bound either: grid 1 has x <= j0-W <= cols-W, grid 2
+    # clamps maxj to cols-W already.
+    in1 = (y >= mini2) & (y <= i0b) & (x >= minj) & (x <= maxj2)
     if decodable:
         in1 = in1 & (j0b >= W)
-    in2 = inb & (y >= mini) & (y <= i0b - W) & (x >= minj) & (x <= maxj)
+    in2 = (y >= mini) & (y <= i0b - W) & (x >= minj) & (x <= maxj)
 
     span = cols + 1
     ord1 = (i0b - y) * span + (maxj2 - x)

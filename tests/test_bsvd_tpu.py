@@ -147,3 +147,17 @@ def test_learn_mdl_forward_improves():
     assert D.shape[0] >= 1
     np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
                                   np.asarray(E))
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3])
+def test_learn_alter_reduces_residual(rng, variant):
+    atoms = rng.rand(5, 48) < 0.35
+    coefs = rng.rand(48, 5) < 0.3
+    X = ((coefs.astype(int) @ atoms.astype(int)) % 2).astype(bool)
+    X[X.sum(axis=1) == 0, 0] = True
+    Xj = jnp.asarray(X, jnp.int8)
+    E, D, A, iters = bsvd.learn_alter(Xj, K=8, init="random_centroids",
+                                      variant=variant, max_iters=8)
+    assert int(E.sum()) <= int(X.sum())
+    np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
+                                  np.asarray(E))
