@@ -334,16 +334,20 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
             return _assemble(per_page, hdr, M, Tn)
     else:
         # enqueue every page's analysis (the device pipelines the kernels),
-        # then fetch+pack per page from a thread pool so the host tail —
-        # D2H transfer, CRC, native decide_pack (GIL-dropping) — overlaps
-        # the device work of later pages
+        # STACK the per-page outputs on device so the fetch is one buffer
+        # per field instead of B*fields — the remote link charges a round
+        # trip per fetched buffer — then pack from a thread pool (CRC +
+        # native decide_pack drop the GIL)
         gjs = [jnp.asarray(grid[b]) for b in range(B)]
         handles = [encode_analyze(g, W=W, R=R, T_thresh=T_thresh,
                                   rows=rows, cols=cols) for g in gjs]
+        stacked = {k: jnp.stack([h[k] for h in handles])
+                   for k in handles[0]}
+        out = jax.device_get(stacked)
 
         def build(b):
-            per_page = jax.device_get(handles[b])
             hdr = _header(params, rows, cols, image_crc(pages[b]))
+            per_page = {k: v[b] for k, v in out.items()}
             return _assemble(per_page, hdr, M, Tn)
 
     workers = min(B, os.cpu_count() or 1)

@@ -243,7 +243,8 @@ def _field_plane(img, W: int, He: int, We: int):
 
 def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                         R: int, T_thresh: int, rows: int, cols: int,
-                        invert: bool, interpret: bool | None = None):
+                        invert: bool, y_base=None,
+                        interpret: bool | None = None):
     """The codec windowed search as ONE Pallas kernel per tile row.
 
     Replaces the distance-map + scan-key + selection XLA pipeline (which
@@ -257,6 +258,12 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Requires W <= 32 (field in
     a uint32 lane; models/compress falls back to the banded MXU variant
     otherwise).  Returns (sel dict as select_windows, oy [T], ox [T]).
+
+    y_base: optional traced scalar — the ABSOLUTE image row of img_bits row
+    0 (may be negative).  Under parallel/tileshard the frame is a shard's
+    halo-extended block: bands/gathers stay frame-relative while the causal
+    masks and scan-order ranks use absolute coordinates, so sharded streams
+    match the single-device enumeration exactly.
     """
     assert W <= 32, "fused search packs one tile row per uint32 lane"
     img = jnp.asarray(img_bits, jnp.uint32)
@@ -272,6 +279,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         interpret = jax.devices()[0].platform != "tpu"
 
     E = _field_plane(img, W, He, We)
+    yb = jnp.asarray([0 if y_base is None else y_base], jnp.int32)
     i0r = jnp.asarray(i0, jnp.int32).reshape(ny, nx)[:, :1]      # [ny, 1]
     j0r = jnp.asarray(j0, jnp.int32).reshape(ny, nx)             # [ny, nx]
     oyr = jnp.clip(i0r - R, 0, max(Hp + pad_h - wh, 0))          # [ny, 1]
@@ -286,30 +294,33 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     # Mosaic restricts dynamic offsets along the lane (last) dimension, so
     # the kernel evaluates each tile against the FULL band width and lets
     # the key masks discard out-of-window positions.  The W row-shifted
-    # copies of the band are hoisted out of the tile loop (rolled rows wrap,
-    # but wrapped positions have dy > R and every valid candidate has
-    # dy <= i0 - oy <= R, so wraps are always masked).
-    def kernel(i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
+    # copies of the band are hoisted out of the tile loop and sliced to the
+    # wh = R+1 candidate rows: every valid candidate has
+    # dy <= i0 - oy <= R, and the slice also discards the rolls' wrapped
+    # rows (which start at dy = bh - a >= R + 1).
+    wh = R + 1
+
+    def kernel(yb_ref, i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
         r = pl.program_id(0)
-        i0s = i0_ref[r]
-        oys = oy_ref[r]
+        i0s = i0_ref[r] + yb_ref[0]   # absolute coordinates for the masks
+        oys = oy_ref[r] + yb_ref[0]
         bandv = band_ref[0]                         # [bh, We] uint32
         if interpret:
-            rolled = [jnp.roll(bandv, -a, axis=0) for a in range(W)]
+            rolled = [jnp.roll(bandv, -a, axis=0)[:wh] for a in range(W)]
         else:
-            rolled = [bandv] + [pltpu.roll(bandv, bh - a, axis=0)
-                                for a in range(1, W)]
+            rolled = [bandv[:wh]] + [pltpu.roll(bandv, bh - a, axis=0)[:wh]
+                                     for a in range(1, W)]
 
         def tile_body(t, carry):
             j0_t = j0_ref[r, t]
-            acc = jnp.zeros((bh, We), jnp.int32)
+            acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(W):
                 f = rolled[a] ^ trow_ref[r, t, a]
                 acc = acc + lax.population_count(f).astype(jnp.int32)
             outs = _selection_scalars(
                 acc, i0s, j0_t, oys, jnp.int32(0), W=W, R=R,
                 T_thresh=T_thresh, rows=rows, cols=cols, invert=invert,
-                h=bh, w=We)
+                h=wh, w=We)
             out_ref[0, pl.ds(t, 1), :] = \
                 jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
             return carry
@@ -317,7 +328,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         lax.fori_loop(0, nx, tile_body, jnp.int32(0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(ny,),
         in_specs=[
             pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
@@ -331,7 +342,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ny, nx, 8), jnp.int32),
         interpret=interpret,
-    )(i0r[:, 0], oyr[:, 0], j0r, trow, bands)
+    )(yb, i0r[:, 0], oyr[:, 0], j0r, trow, bands)
     out = out.reshape(T, 8)
     sel = dict(bestd=out[:, 0], dy=out[:, 1], dx=out[:, 7],
                bestinv=out[:, 2].astype(jnp.bool_),

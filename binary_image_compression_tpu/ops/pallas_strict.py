@@ -200,14 +200,16 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             trow = (tilerows.astype(jnp.int32) * selj).sum(
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
-            acc = jnp.zeros((bh, We), jnp.int32)
+            # wh = R+1 rows cover every valid dy and exclude roll wraps
+            wh = R + 1
+            acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(W):
-                f = roll_rows(band, a) ^ trow[a, 0]
+                f = roll_rows(band, a)[:wh] ^ trow[a, 0]
                 acc = acc + lax.population_count(f).astype(jnp.int32)
 
             outs = _selection_scalars(
                 acc, i0, j0, oy, jnp.int32(0), W=W, R=R, T_thresh=T_thresh,
-                rows=rows, cols=cols, invert=invert, h=bh, w=We)
+                rows=rows, cols=cols, invert=invert, h=wh, w=We)
             (bestd, dy, binv, found, rank, n_cands, has_c, dx) = outs
 
             # candidate fields: band rows dy..dy+W-1 at lane dx

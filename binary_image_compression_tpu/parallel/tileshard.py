@@ -57,14 +57,22 @@ def _analyze_shard(block, *, n: int, W: int, R: int, T_thresh: int,
     ii, jj = jnp.meshgrid(jnp.arange(ny_loc), jnp.arange(nx), indexing="ij")
     i0_rel = (R + ii * W).ravel()
     j0 = (jj * W).ravel()
-    i0_abs = i0_rel + base - R
 
+    # causal masks / scan-order ranks use ABSOLUTE coordinates so the
+    # sharded streams match the single-device enumeration exactly; bands
+    # and patch gathers stay ext-frame-relative.  Ext rows above the image
+    # (the zero halo of the top shards) land at negative absolute y and are
+    # masked off by the key grids.
+    if W <= 32:
+        from ..ops import pallas_kernels
+        sel, oy_rel, ox = pallas_kernels.fused_search_select(
+            ext, i0_rel, j0, ny_loc, nx, W=W, R=R, T_thresh=T_thresh,
+            rows=rows, cols=cols, invert=invert, y_base=base - R)
+        return compress._finish_selection(ext, sel, (i0_rel, j0, oy_rel, ox),
+                                          W=W, invert=invert)
+    i0_abs = i0_rel + base - R
     d, oy_rel, ox = search.window_distance_maps_banded(
         ext, i0_rel, j0, W, R, ny_loc, nx)
-    # scan keys are built from ABSOLUTE coordinates so the causal masks and
-    # scan-order ranks match the single-device enumeration exactly; ext rows
-    # above the image (zero halo of the top shards) land at negative y and
-    # are masked off by the key grids.
     oy_abs = oy_rel + base - R
     return compress._select_and_pack(
         ext, d, (i0_abs, j0, oy_abs, ox), (i0_rel, j0, oy_rel, ox),
