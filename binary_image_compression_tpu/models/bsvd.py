@@ -469,6 +469,34 @@ def learn_mdl_forward(X, K0: int = 4, init: str = "neighbor",
     return E, D, A, bestL
 
 
+def learn_mdl_full(X, Kmax: int = 40, Kstep: int = 20, reps: int = 10,
+                   init: str = "random_centroids",
+                   dict_update: str = "steepest", seed: int = 34503498):
+    """MDL full search (bsvd.cpp:1665-1717) on device: sweep K in steps of
+    Kstep with `reps` random restarts each, keep the best codelength.  (The
+    reference 'reseeds' a global its RNG singleton never re-reads — the
+    stream just continues; here every restart genuinely forks the key.)
+
+    Returns (E, D, A, bestL)."""
+    X = jnp.asarray(X, jnp.int8)
+    key = jax.random.PRNGKey(seed)
+    best = None
+    bestL = None
+    K = Kstep
+    while K <= Kmax:
+        for _ in range(reps):
+            key, sub = jax.random.split(key)
+            D0, A0 = INITIALIZERS[init](sub, X, K)
+            E, D, A, _ = learn_from(X, D0, A0, dict_update=dict_update)
+            L = float(model_codelength(E, D, A))
+            if bestL is None or L < bestL:
+                bestL = L
+                best = (E, D, A)
+        K += Kstep
+    E, D, A = best
+    return E, D, A, bestL
+
+
 def learn_train_step(E, D, A):
     """One alternation step (coef sweep + dict update) — the unit the
     multi-chip dryrun shards (parallel/mesh.py)."""

@@ -161,3 +161,16 @@ def test_learn_alter_reduces_residual(rng, variant):
     assert int(E.sum()) <= int(X.sum())
     np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
                                   np.asarray(E))
+
+
+def test_learn_mdl_full_search():
+    rng = np.random.RandomState(9)
+    atoms = rng.rand(3, 32) < 0.3
+    coefs = rng.rand(48, 3) < 0.3
+    X = ((coefs.astype(int) @ atoms.astype(int)) % 2).astype(bool)
+    Xj = jnp.asarray(X, jnp.int8)
+    E, D, A, bestL = bsvd.learn_mdl_full(Xj, Kmax=8, Kstep=4, reps=2)
+    assert D.shape[0] in (4, 8)
+    np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
+                                  np.asarray(E))
+    assert bestL > 0
