@@ -293,11 +293,11 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
 
     # Mosaic restricts dynamic offsets along the lane (last) dimension, so
     # the kernel evaluates each tile against the FULL band width and lets
-    # the key masks discard out-of-window positions.  The W row-shifted
-    # copies of the band are hoisted out of the tile loop and sliced to the
-    # wh = R+1 candidate rows: every valid candidate has
-    # dy <= i0 - oy <= R, and the slice also discards the rolls' wrapped
-    # rows (which start at dy = bh - a >= R + 1).
+    # the key masks discard out-of-window positions.  The band's W
+    # row-shifted views are sliced to the wh = R+1 candidate rows (every
+    # valid candidate has dy <= i0 - oy <= R).  A 4-tile-blocked variant
+    # that shares each band view across tiles measured slightly SLOWER
+    # (accumulator spills beat the read savings) — keep the simple loop.
     wh = R + 1
 
     def kernel(yb_ref, i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
@@ -305,22 +305,16 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         i0s = i0_ref[r] + yb_ref[0]   # absolute coordinates for the masks
         oys = oy_ref[r] + yb_ref[0]
         bandv = band_ref[0]                         # [bh, We] uint32
-        if interpret:
-            rolled = [jnp.roll(bandv, -a, axis=0)[:wh] for a in range(W)]
-        else:
-            rolled = [bandv[:wh]] + [pltpu.roll(bandv, bh - a, axis=0)[:wh]
-                                     for a in range(1, W)]
 
         def tile_body(t, carry):
-            j0_t = j0_ref[r, t]
             acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(W):
-                f = rolled[a] ^ trow_ref[r, t, a]
-                acc = acc + lax.population_count(f).astype(jnp.int32)
+                x = bandv[a:a + wh, :] ^ trow_ref[r, t, a]
+                acc = acc + lax.population_count(x).astype(jnp.int32)
             outs = _selection_scalars(
-                acc, i0s, j0_t, oys, jnp.int32(0), W=W, R=R,
-                T_thresh=T_thresh, rows=rows, cols=cols, invert=invert,
-                h=wh, w=We)
+                acc, i0s, j0_ref[r, t], oys, jnp.int32(0),
+                W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
+                invert=invert, h=wh, w=We)
             out_ref[0, pl.ds(t, 1), :] = \
                 jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
             return carry

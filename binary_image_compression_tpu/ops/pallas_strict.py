@@ -200,11 +200,12 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             trow = (tilerows.astype(jnp.int32) * selj).sum(
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
-            # wh = R+1 rows cover every valid dy and exclude roll wraps
+            # wh = R+1 rows cover every valid dy; static slices of the
+            # band value replace per-a rolls (no copy of the full band)
             wh = R + 1
             acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(W):
-                f = roll_rows(band, a)[:wh] ^ trow[a, 0]
+                f = band[a:a + wh, :] ^ trow[a, 0]
                 acc = acc + lax.population_count(f).astype(jnp.int32)
 
             outs = _selection_scalars(
