@@ -117,8 +117,29 @@ def make_select_kernel(W: int, R: int, T_thresh: int, rows: int, cols: int,
     return kernel
 
 
+def _selection_rowparts(i0, oy, *, W, R, cols, h, w):
+    """Tile-row-invariant pieces of the selection math, hoistable out of a
+    kernel's tile loop: y-range masks and scan-order row terms as [h, 1]
+    columns (broadcast against per-tile [1, w] column pieces), plus the
+    constant flat position grid."""
+    span = cols + 1
+    yyc = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) + oy
+    mini2 = jnp.maximum(i0 - W, 0)
+    mini = jnp.maximum(i0 - R, 0)
+    # no y bound: grid-1 candidates of bottom-edge tiles extend into the
+    # zero-padded rows, exactly as the host/native enumeration does
+    # (see ops/search.scan_keys); the x bounds are already tight
+    rowm1 = (yyc >= mini2) & (yyc <= i0)
+    rowm2 = (yyc >= mini) & (yyc <= i0 - W)
+    rt1 = (i0 - yyc) * span
+    rt2 = (i0 - W - yyc) * span
+    flat = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w \
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return rowm1, rowm2, rt1, rt2, flat
+
+
 def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
-                       invert, h, w):
+                       invert, h, w, rowparts=None):
     """In-register selection math shared by the kernels; returns the 8
     per-tile scalars (bestd, dy, inv, found, rank, n_cands, has_cands, dx).
 
@@ -127,26 +148,22 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
     strict-< argmin, duplicate y=i0-W row enumerated by both grids)."""
     M = W * W
     maxx = cols - W
-    span = cols + 1
-    off1 = (W + 2) * span
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + oy
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + ox
+    off1 = (W + 2) * (cols + 1)
+    if rowparts is None:
+        rowparts = _selection_rowparts(i0, oy, W=W, R=R, cols=cols, h=h, w=w)
+    rowm1, rowm2, rt1, rt2, flat = rowparts
+    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) + ox
 
-    mini2 = jnp.maximum(i0 - W, 0)
     minj = jnp.maximum(j0 - R, 0)
     maxj2 = jnp.maximum(j0 - W, 0)
-    mini = jnp.maximum(i0 - R, 0)
     maxj = jnp.minimum(j0 + R, maxx)
 
-    # no y bound: grid-1 candidates of bottom-edge tiles extend into the
-    # zero-padded rows, exactly as the host/native enumeration does
-    # (see ops/search.scan_keys); the x bounds are already tight
-    in1 = (yy >= mini2) & (yy <= i0) & (xx >= minj) \
-        & (xx <= maxj2) & (j0 >= W)
-    in2 = (yy >= mini) & (yy <= i0 - W) & (xx >= minj) \
-        & (xx <= maxj)
-    ord1 = (i0 - yy) * span + (maxj2 - xx)
-    ord2 = off1 + (i0 - W - yy) * span + (maxj - xx)
+    colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0 >= W)   # [1, w]
+    colm2 = (xxr >= minj) & (xxr <= maxj)
+    in1 = rowm1 & colm1                                  # broadcast [h, w]
+    in2 = rowm2 & colm2
+    ord1 = rt1 + (maxj2 - xxr)
+    ord2 = off1 + rt2 + (maxj - xxr)
     key1 = jnp.where(in1, ord1, _INF)
     key2 = jnp.where(in2, ord2, _INF)
     key = jnp.minimum(key1, key2)
@@ -168,8 +185,6 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
     key_sel = jnp.where(any_stop, skmin, mkmin)
     # unique flat position of the selected key (all-INF -> index 0,
     # matching jnp.argmin over a constant row)
-    flat = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w \
-        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     sel = key == key_sel
     bestidx = jnp.min(jnp.where(sel, flat, _BIG))
     at = flat == bestidx
@@ -306,6 +321,9 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         oys = oy_ref[r] + yb_ref[0]
         bandv = band_ref[0]                         # [bh, We] uint32
 
+        rowparts = _selection_rowparts(i0s, oys, W=W, R=R, cols=cols,
+                                       h=wh, w=We)
+
         def tile_body(t, carry):
             acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(W):
@@ -314,7 +332,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
             outs = _selection_scalars(
                 acc, i0s, j0_ref[r, t], oys, jnp.int32(0),
                 W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
-                invert=invert, h=wh, w=We)
+                invert=invert, h=wh, w=We, rowparts=rowparts)
             out_ref[0, pl.ds(t, 1), :] = \
                 jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
             return carry
