@@ -75,7 +75,9 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
 
 @lru_cache(maxsize=16)
 def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
-            interpret):
+            interpret, debug_skip=None):
+    # debug_skip ("acc" | "selection" | "subst") disables one kernel stage
+    # for perf bisection ONLY — outputs are wrong; never set in production
     ny, nx = gh // W, gw // W
     T = ny * nx
     M = W * W
@@ -96,7 +98,8 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
 
     kernel = _make_kernel(W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
                           invert=invert, use_pred=use_pred, nx=nx,
-                          bh=bh, He=He, We=We, interpret=interpret)
+                          bh=bh, He=He, We=We, interpret=interpret,
+                          debug_skip=debug_skip)
     vmem = pl.ANY if interpret else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # oy_rows [ny], j0_row [nx], enb [M+1]
@@ -139,7 +142,7 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
 
 
 def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
-                 bh, He, We, interpret):
+                 bh, He, We, interpret, debug_skip=None):
     # numpy scalars: jnp constants created outside the traced kernel would
     # be closure captures, which pallas rejects
     wmask = np.uint32((1 << W) - 1)
@@ -160,18 +163,17 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
         return k.astype(jnp.int32) + (u >> k.astype(jnp.int32)) + 1
 
     def golomb_update(acc, n, u):
-        # GolombCoder.cpp:29-33 with C unsigned-32 wraparound
+        # GolombCoder.cpp:29-33 with C unsigned-32 wraparound, evaluated as
+        # one 32-lane vector comparison instead of a 32-step scalar loop
+        # (scalar loops sit on the strict chain's critical path)
         n = (n + jnp.uint32(1)) & U32
         acc = (acc + u.astype(jnp.uint32)) & U32
-
-        def body(kk, st):
-            k, done = st
-            shifted = (n << jnp.uint32(kk)) & U32
-            hit = (~done) & (shifted >= acc)
-            k = jnp.where(hit, jnp.uint32(kk), k)
-            return k, done | hit
-
-        k, _ = lax.fori_loop(0, 32, body, (jnp.uint32(31), jnp.bool_(False)))
+        ks = lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        ok = ((n << ks) & U32) >= acc
+        # Mosaic lacks unsigned reductions: min over small non-negative
+        # ints is safe in int32
+        k = jnp.min(jnp.where(ok, ks.astype(jnp.int32), 31)).astype(
+            jnp.uint32)
         return acc, n, k
 
     def kernel(oy_ref, j0_ref, enb_ref, e0_ref, out_ref, res_ref, ev, gctx):
@@ -204,13 +206,19 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             # band value replace per-a rolls (no copy of the full band)
             wh = R + 1
             acc = jnp.zeros((wh, We), jnp.int32)
-            for a in range(W):
-                f = band[a:a + wh, :] ^ trow[a, 0]
-                acc = acc + lax.population_count(f).astype(jnp.int32)
+            if debug_skip != "acc":
+                for a in range(W):
+                    f = band[a:a + wh, :] ^ trow[a, 0]
+                    acc = acc + lax.population_count(f).astype(jnp.int32)
 
-            outs = _selection_scalars(
-                acc, i0, j0, oy, jnp.int32(0), W=W, R=R, T_thresh=T_thresh,
-                rows=rows, cols=cols, invert=invert, h=wh, w=We)
+            if debug_skip == "selection":
+                z = acc[0, 0] & 0
+                outs = (acc.sum() & 255, z, z, z + 1, z, z + 7, z + 1, z)
+            else:
+                outs = _selection_scalars(
+                    acc, i0, j0, oy, jnp.int32(0), W=W, R=R,
+                    T_thresh=T_thresh, rows=rows, cols=cols, invert=invert,
+                    h=wh, w=We)
             (bestd, dy, binv, found, rank, n_cands, has_c, dx) = outs
 
             # candidate fields: band rows dy..dy+W-1 at lane dx
@@ -299,7 +307,8 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             for c in range(W):
                 newE = newE | (roll_lanes(pixrows, c)
                                << jnp.uint32(W - 1 - c))
-            ev[pl.ds(i0, W), :] = newE
+            if debug_skip != "subst":
+                ev[pl.ds(i0, W), :] = newE
 
             out_ref[0, pl.ds(t, 1), :] = jnp.stack(
                 [mode, rank, binv, weight, k_used, n_cands, il,
