@@ -236,13 +236,16 @@ def main():
                              if ref_s else None)
 
     # bitplane/PGM pipeline (BASELINE config #2): 8 planes batched through
-    # the device MED + native EG runs, vs the host path
+    # the device MED + native EG runs, vs the host path (compiles
+    # med_planes: keep the watchdog armed)
+    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
     gray = (np.cumsum(img, axis=1) * 7 % 256).astype(np.uint32)
     p10b = codec.CodecParams(codec=10, W=0, T=0, R=0)
     gb = codec.encode_pgm(gray, 255, p10b, backend="tpu")   # warm/compile
     g2, _ = codec.decode_pgm(gb)
     assert (g2 == gray).all()
     assert gb == codec.encode_pgm(gray, 255, p10b, backend="host")
+    signal.alarm(0)
     t0 = time.time()
     for _ in range(5):
         codec.decode_pgm(codec.encode_pgm(gray, 255, p10b, backend="tpu"))

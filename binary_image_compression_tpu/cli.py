@@ -45,25 +45,26 @@ def cmd_compress(args):
     from .utils import pnm
     if args.codec == "auto":
         return _compress_auto(args)
+    # honor the user's codec flags for gray/color input; a bare
+    # `bic compress in.pgm out.bic` keeps per-plane auto-selection
+    # (checked against the raw string BEFORE the int conversion)
+    explicit = (args.codec != "8" or args.W != 16 or args.T is not None
+                or args.R != 128 or args.mode != "causal")
     args.codec = int(args.codec)
     params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
                                R=args.R, strict=args.mode == "strict")
+    backend = "tpu" if args.backend == "tpu" else "host"
     ext = os.path.splitext(args.input)[1].lower()
     if ext == ".ppm":
         rgb, maxval = pnm.read_pnm(args.input)
-        # honor the user's codec flags for color input too; a bare
-        # `bic compress in.ppm out.bic` keeps per-plane auto-selection
-        explicit = (args.codec != "8" or args.W != 16 or args.T is not None
-                    or args.R != 128 or args.mode != "causal")
-        blob = codec.encode_ppm(rgb, maxval, params if explicit else None)
+        blob = codec.encode_ppm(rgb, maxval, params if explicit else None,
+                                backend=backend)
         raw = rgb.size * 3
     elif ext in (".pgm", ".pnm"):
         gray, maxval = pnm.read_pnm(args.input)
-        explicit = (args.codec != "8" or args.W != 16 or args.T is not None
-                    or args.R != 128 or args.mode != "causal")
-        blob = codec.encode_pgm(
-            gray, maxval, params if explicit else None,
-            backend="tpu" if args.backend == "tpu" else "host")
+        blob = codec.encode_pgm(gray, maxval,
+                                params if explicit else None,
+                                backend=backend)
         raw = gray.size * (2 if maxval > 255 else 1)
     else:
         img = pnm.read_pbm(args.input)
@@ -181,6 +182,19 @@ def cmd_bsvd(args):
             E, D, A, bestL = bsvd.learn_mdl_forward(
                 X, K0=max(1, args.k // 8), max_k=args.k, init=init,
                 dict_update=du, seed=args.r)
+        elif args.l in (1, 2, 3):  # role-switching loops
+            E, D, A, iters = bsvd.learn_alter(X, K=args.k, init=init,
+                                              variant=args.l,
+                                              dict_update=du, seed=args.r)
+        elif args.l >= 5:
+            # MDL backward/full have no device driver yet: run the exact
+            # parity layer instead of silently substituting another loop
+            print(f"note: -l {args.l} runs on the reference-parity backend")
+            out = bsvd_ref.run_mdl(
+                img, W=args.w, K0=max(1, args.k // 8),
+                image_mode=bool(args.I), mi=args.i, cu=args.c, du=args.d,
+                lmi=args.L, direction="backward", seed=args.r)
+            D, A, E = out["D"], out["A"], out["E"]
         else:
             E, D, A, iters = bsvd.learn(X, K=args.k, init=init,
                                         dict_update=du, seed=args.r)

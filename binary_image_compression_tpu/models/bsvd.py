@@ -399,6 +399,22 @@ def learn_alter(X, K: int, init: str = "neighbor", variant: int = 1,
             Et, Dt, ch = update_dictionary_steepest(Et, Dt, At)
         return Et.T, At.T, Dt.T, ch
 
+    def to_convergence(step, E, D, A):
+        """Repeat `step` until it reports no change (bounded); returns the
+        state plus the TOTAL change count of the sweep."""
+        def cond(s):
+            return (s[3] > 0) & (s[5] < max_iters)
+
+        def sbody(s):
+            E, D, A, _, tot, it = s
+            E, D, A, ch = step(E, D, A)
+            return E, D, A, ch, tot + ch, it + 1
+
+        E, D, A, _, tot, _ = lax.while_loop(
+            cond, sbody, (E, D, A, jnp.int32(1), jnp.int32(0),
+                          jnp.int32(0)))
+        return E, D, A, tot
+
     def body(state):
         E, D, A, it, _ = state
         if variant == 3:
@@ -407,6 +423,10 @@ def learn_alter(X, K: int, init: str = "neighbor", variant: int = 1,
                 E, D, A, ch2 = update_dictionary_proximus(E, D, A)
             else:
                 E, D, ch2 = update_dictionary_steepest(E, D, A)
+        elif variant == 2:
+            # alter2: each orientation runs to convergence before switching
+            E, D, A, ch1 = to_convergence(direct, E, D, A)
+            E, D, A, ch2 = to_convergence(transposed, E, D, A)
         else:
             E, D, A, ch1 = direct(E, D, A)
             E, D, A, ch2 = transposed(E, D, A)

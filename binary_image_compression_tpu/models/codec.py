@@ -314,7 +314,9 @@ def decode(blob: bytes, *, use_native: bool = True,
     # decoder (native or Python) divides by W or sizes buffers from it
     if codec not in VALID_CODECS:
         raise ValueError(f"corrupt BIC1 header: unknown codec id {codec}")
-    if rows == 0 or cols == 0 or rows * cols > 2 ** 34:
+    if rows == 0 or cols == 0 or rows * cols > 2 ** 31:
+        # the Python fallback decoders allocate O(rows*cols) byte buffers;
+        # a corrupt header must not be an allocation bomb
         raise ValueError(f"implausible dimensions {rows}x{cols}")
     if codec in (2, 3, 4, 6, 7, 8, 11) and not 1 <= W <= 64:
         raise ValueError(f"corrupt BIC1 header: W={W} out of range [1, 64] "

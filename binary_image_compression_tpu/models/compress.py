@@ -36,6 +36,26 @@ from ..ops.entropy import GolombCoder
 from .codec import CodecParams, _header, image_crc
 
 
+def _check_W(params):
+    """Same guard as codec.encode: the native runtime and the decoder
+    reject W outside [1, 64], so the TPU encoders must too (a stream with
+    W = 65 in its header would be unreadable by our own decoder)."""
+    if not 1 <= params.W <= 64:
+        raise ValueError(f"tile width W={params.W} out of range [1, 64]")
+
+
+def _idx_len(n_cands):
+    """Integer-exact ceil(log2(n)) = max(1, (n-1).bit_length()) for n > 0.
+
+    The host encoder uses Python int bit_length; a float32 log2 could round
+    k + eps at exact powers of two and widen the index field by one bit —
+    which would silently desynchronize encoder and decoder."""
+    n1 = (jnp.maximum(n_cands, 1) - 1).astype(jnp.int32)
+    ks = jnp.int32(1) << jnp.arange(31, dtype=jnp.int32)
+    bl = (n1[..., None] >= ks).sum(axis=-1).astype(jnp.int32)
+    return jnp.where(n_cands > 0, jnp.maximum(1, bl), 0)
+
+
 def _med_tiles(P):
     """Batched MED residual on dense tiles [T, W, W] (invertible origin)."""
     up = jnp.pad(P, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
@@ -174,10 +194,7 @@ def _finish_selection(frame, sel, gather_coords, *, W: int, invert: bool):
     w_nnp = P.sum(axis=(1, 2), dtype=jnp.int32)
     w_np_ = dP.sum(axis=(1, 2), dtype=jnp.int32)
 
-    idx_len = jnp.maximum(1, jnp.ceil(
-        jnp.log2(jnp.maximum(n_cands, 1).astype(jnp.float32))
-    ).astype(jnp.int32))
-    idx_len = jnp.where(n_cands > 0, idx_len, 0)
+    idx_len = _idx_len(n_cands)
 
     # The per-tile mode decision threads two adaptive Golomb contexts
     # sequentially through the tiles — 4 integer adds per tile.  That is
@@ -243,6 +260,7 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
     params = params or CodecParams(codec=8, strict=False)
     assert params.codec in (4, 7, 8) and not params.strict, \
         "TPU path implements codecs 4/7/8 in causal mode"
+    _check_W(params)
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape
     W, R = params.W, params.R
@@ -310,6 +328,7 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
     remote-compile tunnel).  pages: bool [B, rows, cols], same size."""
     params = params or CodecParams(codec=8, strict=False)
     assert params.codec == 8 and not params.strict
+    _check_W(params)
     pages = np.asarray(pages, dtype=bool)
     B, rows, cols = pages.shape
     W, R = params.W, params.R
@@ -473,9 +492,7 @@ def encode_analyze_strict(img_bits, *, W: int, R: int, T_thresh: int,
         w_mp = dP3.sum(dtype=jnp.int32)
         w_nnp = Pi.sum(dtype=jnp.int32)
         w_np_ = dP.sum(dtype=jnp.int32)
-        il = jnp.maximum(1, jnp.ceil(jnp.log2(
-            jnp.maximum(n_cands, 1).astype(jnp.float32))).astype(jnp.int32))
-        il = jnp.where(n_cands > 0, il, 0)
+        il = _idx_len(n_cands)
         big = jnp.int32(1 << 28)
         c0 = jnp.where(has_cands, 3 + il + gcost(km, w_mnp) + enb[w_mnp], big)
         c1 = jnp.where(has_cands, 3 + il + gcost(km, w_mp) + enb[w_mp], big)
@@ -515,6 +532,7 @@ def encode_strict(img: np.ndarray, params: CodecParams | None = None
     geometry allows; otherwise the round-1 lax.scan formulation."""
     params = params or CodecParams(codec=8, strict=True)
     assert params.codec == 8 and params.strict
+    _check_W(params)
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape
     W, R = params.W, params.R

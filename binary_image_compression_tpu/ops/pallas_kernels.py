@@ -27,7 +27,10 @@ def _dist_kernel(a_ref, b_ref, out_ref):
     transposes; chunking the word axis bounds live temporaries so wide rows
     (M >= 4096) stay inside the VMEM scope.
     """
-    @pl.when(pl.program_id(0) == 0)
+    # word-chunk (reduction) dim is the LAST grid dim, so all revisits of
+    # one output block are consecutive — Mosaic only keeps an output block
+    # resident across consecutive grid steps
+    @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros(out_ref.shape, dtype=jnp.int32)
 
@@ -39,7 +42,7 @@ def _dist_kernel(a_ref, b_ref, out_ref):
         out_ref[:] = out_ref[:] + lax.population_count(x).astype(jnp.int32)
 
 
-def packed_dist_matrix(a, b, *, block_n: int = 256, block_w: int = 16,
+def packed_dist_matrix(a, b, *, block_n: int = 256,
                        interpret: bool | None = None):
     """All-pairs Hamming distances between packed rows, fully packed-domain.
 
@@ -54,28 +57,27 @@ def packed_dist_matrix(a, b, *, block_n: int = 256, block_w: int = 16,
         interpret = jax.devices()[0].platform != "tpu"
     bn = min(block_n, N)
     # Mosaic block rule: the word (lane) block must equal the full word
-    # axis or be a multiple of 128.  The unrolled word loop keeps ~Wd
+    # axis or be a multiple of 128.  The unrolled word loop keeps ~wc
     # [bn, K] temporaries alive, so very wide rows (Wd >= 128, M >= 4096)
     # blow the 16 MB VMEM scope — callers (bsvd.distances_to_atoms) fall
     # back to the MXU matmul there; the codec patch sizes (M = W^2 <= 1024)
     # are all comfortably inside.
     wc = Wd if Wd <= 128 or Wd % 128 else 128
-    del block_w
     npad = -N % bn
     wpad = -Wd % wc
     if npad or wpad:
         a = jnp.pad(a, ((0, npad), (0, wpad)))
         b = jnp.pad(b, ((0, 0), (0, wpad)))
-    grid = ((Wd + wpad) // wc, (N + npad) // bn)
+    grid = ((N + npad) // bn, (Wd + wpad) // wc)
     mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _dist_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, wc), lambda c, i: (i, c), memory_space=mem),
-            pl.BlockSpec((K, wc), lambda c, i: (0, c), memory_space=mem),
+            pl.BlockSpec((bn, wc), lambda i, c: (i, c), memory_space=mem),
+            pl.BlockSpec((K, wc), lambda i, c: (0, c), memory_space=mem),
         ],
-        out_specs=pl.BlockSpec((bn, K), lambda c, i: (i, 0),
+        out_specs=pl.BlockSpec((bn, K), lambda i, c: (i, 0),
                                memory_space=mem),
         out_shape=jax.ShapeDtypeStruct((N + npad, K), jnp.int32),
         interpret=interpret,

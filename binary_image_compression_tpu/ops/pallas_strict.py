@@ -252,11 +252,13 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             w_mnp, w_mp = wt(p3), wt(dp3)
             w_nnp, w_np_ = wt(p), wt(dp)
 
-            il = jnp.where(
-                n_cands > 0,
-                jnp.maximum(1, jnp.ceil(jnp.log2(jnp.maximum(
-                    n_cands, 1).astype(jnp.float32))).astype(jnp.int32)),
-                0)
+            # integer-exact ceil(log2): float32 log2 could widen the
+            # index field by a bit at exact powers of two
+            n1 = jnp.maximum(n_cands, 1) - 1
+            kpow = jnp.int32(1) << lax.broadcasted_iota(jnp.int32,
+                                                        (1, 31), 1)
+            bl = (n1 >= kpow).astype(jnp.int32).sum()
+            il = jnp.where(n_cands > 0, jnp.maximum(1, bl), 0)
 
             gm_acc, gm_n, gm_k = gctx[0], gctx[1], gctx[2]
             gn_acc, gn_n, gn_k = gctx[3], gctx[4], gctx[5]

@@ -129,6 +129,7 @@ def encode_tile_sharded(mesh: Mesh, img: np.ndarray, params=None) -> bytes:
     from ..models.codec import CodecParams, _header, image_crc
     params = params or CodecParams(codec=8, strict=False)
     assert params.codec in (4, 7, 8) and not params.strict
+    compress._check_W(params)
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape
     W = params.W

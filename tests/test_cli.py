@@ -73,3 +73,42 @@ def test_cli_info(tmp_path):
     r = run_cli(["info", "t.bic"], tmp_path)
     assert r.returncode == 0
     assert '"BIC1"' in r.stdout
+
+
+def test_cli_pgm_default_uses_auto_selection(tmp_path):
+    """`bic compress x.pgm` without codec flags must auto-select per plane
+    (regression: an int-vs-str comparison made the explicit-flags check
+    always true, silently forcing codec-8 params)."""
+    import subprocess
+    import sys
+    import numpy as np
+    from binary_image_compression_tpu.models import codec
+    from binary_image_compression_tpu.utils import pnm
+    rng = np.random.RandomState(3)
+    gray = (np.abs(np.cumsum(rng.randn(64, 64), axis=1)) * 9).astype(
+        np.uint32) % 256
+    src = tmp_path / "g.pgm"
+    out = tmp_path / "g.bicg"
+    pnm.write_pgm(gray, 255, str(src))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    subprocess.run([sys.executable, "-m", "binary_image_compression_tpu",
+                    "compress", str(src), str(out)], check=True, env=env,
+                   capture_output=True)
+    expect = codec.encode_pgm(gray, 255, None)   # per-plane best-of
+    assert out.read_bytes() == expect
+
+
+def test_tpu_encoders_reject_bad_W():
+    import numpy as np
+    import pytest as _pytest
+    from binary_image_compression_tpu.models import codec, compress
+    img = np.zeros((32, 32), bool)
+    for W in (0, 65):
+        with _pytest.raises(ValueError, match="out of range"):
+            compress.encode(img, codec.CodecParams(codec=8, W=W,
+                                                   strict=False))
+        with _pytest.raises(ValueError, match="out of range"):
+            compress.encode_strict(img, codec.CodecParams(codec=8, W=W,
+                                                          strict=True))
