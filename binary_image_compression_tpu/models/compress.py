@@ -81,9 +81,10 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
       * "fused" (default, W <= 32): single Pallas kernel — W-bit row fields
         XOR+popcounted against row-bands in VMEM with the serial-scan
         selection in-register, no HBM distance maps at all
-        (ops/pallas_kernels.fused_search_select).  12x the banded variant
-        on a v5e at 512^2/W16/R128 (7.4ms vs 91ms per page, pipelined).
-        Falls back to "banded" for W > 32.
+        (ops/pallas_kernels.fused_search_select).  4.4-4.8 ms/page
+        device-true on a v5e at 512^2/W16/R128 (vs ~91 ms banded-MXU maps,
+        ~62 ms round-1 conv+XLA-selection).  Falls back to "banded" for
+        W > 32.
       * "banded": row-band MXU contractions over the W^2 patch dimension
         via lax.scan (search.window_distance_maps_banded) + the Pallas
         selection kernel;
