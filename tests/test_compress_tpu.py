@@ -129,3 +129,13 @@ def test_tpu_matches_host_doc512():
     tpu = compress.encode(img, p)
     assert tpu == codec.encode(img, p)
     np.testing.assert_array_equal(codec.decode(tpu), img)
+
+
+def test_encode_batch_vmapped_matches_loop():
+    """vmap over the fused Pallas analysis (Mosaic lifts the batch into a
+    leading grid dim) must produce the same streams as the loop mode."""
+    img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
+    pages = np.stack([img, np.roll(img, 3, axis=1), ~img])
+    p = codec.CodecParams(codec=8, W=8, R=32, strict=False)
+    assert compress.encode_batch(pages, p, vmapped=True) == \
+        compress.encode_batch(pages, p, vmapped=False)
