@@ -186,15 +186,13 @@ def cmd_bsvd(args):
             E, D, A, iters = bsvd.learn_alter(X, K=args.k, init=init,
                                               variant=args.l,
                                               dict_update=du, seed=args.r)
-        elif args.l >= 5:
-            # MDL backward/full have no device driver yet: run the exact
-            # parity layer instead of silently substituting another loop
-            print(f"note: -l {args.l} runs on the reference-parity backend")
-            out = bsvd_ref.run_mdl(
-                img, W=args.w, K0=max(1, args.k // 8),
-                image_mode=bool(args.I), mi=args.i, cu=args.c, du=args.d,
-                lmi=args.L, direction="backward", seed=args.r)
-            D, A, E = out["D"], out["A"], out["E"]
+        elif args.l == 5:  # MDL backward selection (bsvd.cpp:1548-1663)
+            E, D, A, bestL = bsvd.learn_mdl_backward(
+                X, K0=args.k, init=init, dict_update=du, seed=args.r)
+        elif args.l >= 6:  # MDL full search (bsvd.cpp:1665-1717)
+            E, D, A, bestL = bsvd.learn_mdl_full(
+                X, Kmax=args.k, Kstep=max(1, args.k // 2), init=init,
+                dict_update=du, seed=args.r)
         else:
             E, D, A, iters = bsvd.learn(X, K=args.k, init=init,
                                         dict_update=du, seed=args.r)

@@ -489,6 +489,60 @@ def learn_mdl_forward(X, K0: int = 4, init: str = "neighbor",
     return E, D, A, bestL
 
 
+def learn_mdl_backward(X, K0: int = 32, init: str = "random_centroids",
+                       dict_update: str = "steepest", seed: int = 34503498,
+                       stuck_limit: int = 10):
+    """MDL backward selection on device (bsvd.cpp:1548-1663): start big and
+    greedily remove the atom whose removal most lowers the codelength,
+    re-learning after each removal, while the stuck-counter heuristic
+    allows.  The removal scores for ALL atoms come from one matmul:
+    |E ^ Ak (x) Dk| = |E| + |Ak||Dk| - 2 diag(A^T E D^T), with
+    diag = rowsum((A^T @ E) * D).
+
+    Returns (E, D, A, bestL)."""
+    from ..ops.entropy import universal_codelength_jnp as ucl
+    X = jnp.asarray(X, jnp.int8)
+    N, M = X.shape
+    E, D, A, _ = learn(X, K0, init=init, dict_update=dict_update, seed=seed)
+    bestL = float(model_codelength(E, D, A))
+    best = (E, D, A)
+    stuck = sum_stuck = all_stuck = 0
+    currD, currA, currE = D, A, E
+    while currD.shape[0] > 1:
+        dev = (sum_stuck // all_stuck) if all_stuck else 0
+        K = currD.shape[0]
+        # removal scores, all atoms at once
+        wA = currA.sum(axis=0, dtype=jnp.float32)             # [K]
+        wD = currD.sum(axis=1, dtype=jnp.float32)             # [K]
+        AtE = jnp.dot(_f32(currA).T, _f32(currE),
+                      preferred_element_type=jnp.float32)     # [K, M]
+        overlap = (AtE * _f32(currD)).sum(axis=1)             # diag(A^T E D^T)
+        wE = currE.sum(dtype=jnp.float32)
+        wEk = wE + wA * wD - 2.0 * overlap                    # |E ^ Ak(x)Dk|
+        tmpL = (ucl(N * M, wEk)
+                - ucl(M, currD.sum(axis=1, dtype=jnp.int32))
+                - ucl(N, currA.sum(axis=0, dtype=jnp.int32)))
+        nextk = int(jnp.argmin(tmpL))
+        keep = np.array([k for k in range(K) if k != nextk])
+        nextD = jnp.take(currD, keep, axis=0)
+        nextA = jnp.take(currA, keep, axis=1)
+        currE, currD, currA, _ = learn_from(X, nextD, nextA,
+                                            dict_update=dict_update)
+        currL = float(model_codelength(currE, currD, currA))
+        if currL + dev < bestL:
+            stuck = 0
+            bestL = currL
+            best = (currE, currD, currA)
+        else:
+            stuck += 1
+            all_stuck += 1
+            sum_stuck += currL - bestL
+            if stuck >= stuck_limit:
+                break
+    E, D, A = best
+    return E, D, A, bestL
+
+
 def learn_mdl_full(X, Kmax: int = 40, Kstep: int = 20, reps: int = 10,
                    init: str = "random_centroids",
                    dict_update: str = "steepest", seed: int = 34503498):

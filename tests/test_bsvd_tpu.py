@@ -174,3 +174,19 @@ def test_learn_mdl_full_search():
     np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
                                   np.asarray(E))
     assert bestL > 0
+
+
+def test_learn_mdl_backward_improves():
+    rng = np.random.RandomState(7)
+    atoms = rng.rand(3, 48) < 0.3
+    coefs = rng.rand(64, 3) < 0.3
+    X = ((coefs.astype(int) @ atoms.astype(int)) % 2).astype(bool)
+    Xj = jnp.asarray(X, jnp.int8)
+    E0, D0, A0, _ = bsvd.learn(Xj, K=16, init="random_centroids")
+    L0 = float(bsvd.model_codelength(E0, D0, A0))
+    E, D, A, bestL = bsvd.learn_mdl_backward(Xj, K0=16,
+                                             init="random_centroids")
+    assert bestL <= L0
+    assert 1 <= D.shape[0] <= 16
+    np.testing.assert_array_equal(np.asarray(bsvd.residual(Xj, D, A)),
+                                  np.asarray(E))
