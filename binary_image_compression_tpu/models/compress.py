@@ -1,23 +1,24 @@
 """TPU-accelerated tile codec: jittable encoder analysis + bitstream I/O.
 
 This is the throughput path for the BIC1 codec-8 family (models/codec.py is
-the host-reference implementation; both emit byte-identical streams in
-causal mode, asserted by tests/test_compress_tpu.py).
+the host-reference implementation; both emit byte-identical streams in both
+modes, asserted by tests/test_compress_tpu.py and tests/test_pallas_strict).
 
-Pipeline (all on device, one jit):
-  1. grouped-conv candidate distance maps over each tile's causal window
-     (ops/search.window_distance_maps — the MXU form of the reference's
-     dist() hot loop, compress8_test.cpp:152-198);
-  2. exact serial-scan selection via lexicographic (distance, scan-key)
-     masked reductions (ops/search.select_best semantics);
-  3. candidate gather, inversion, MED prediction, per-mode weights;
-  4. a lax.scan over tiles replaying the two adaptive Golomb contexts and
-     choosing the cheapest of the 4 modes by true bit cost;
-  5. residual tiles packed to uint32.
+Causal-mode pipeline (all on device, one jit):
+  1. fused Pallas windowed search + serial-scan selection
+     (ops/pallas_kernels.fused_search_select — the reference's dist() hot
+     loop, compress8_test.cpp:152-198, as W-bit row-field XOR+popcounts
+     with the selection in-register; banded-MXU / grouped-conv fallbacks);
+  2. candidate gather, inversion, MED prediction, per-mode weights;
+  3. all four candidate residuals packed to uint32.
 
-Host side packs bits (Golomb + enumerative ranks; the bignum rank arithmetic
-is host/C++ work by design — it is O(tiles * W^2/64) word ops on <=300-bit
-integers, negligible next to the device search).
+Strict mode (residual substitution) runs the whole serial chain inside one
+VMEM-resident kernel (ops/pallas_strict).
+
+Host side fuses the mode decision (two adaptive Golomb contexts) with the
+record packing in ONE native call (bic_decide_pack; the bignum rank
+arithmetic is host/C++ work by design — O(tiles * W^2/64) fixed-limb word
+ops, ~3 ms/512^2 page, overlapped with device compute in batch mode).
 """
 
 from __future__ import annotations
