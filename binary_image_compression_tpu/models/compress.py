@@ -422,7 +422,11 @@ def encode_analyze_strict(img_bits, *, W: int, R: int, T_thresh: int,
     as one lax.scan over tiles whose carry is the working image; per step a
     single-kernel conv computes the tile's whole candidate window.  Emits
     the same per-tile record set as encode_analyze; byte-identical streams
-    to models/codec.encode(strict=True)."""
+    to models/codec.encode(strict=True).
+
+    NOT on any product path: it compiles pathologically (minutes at 512^2)
+    and runs far slower than either ops/pallas_strict or the native host
+    encoder — kept only for explicit A/B benchmarking of the formulation."""
     M = W * W
     i0v, j0v, ny, nx = search.tile_origins(rows, cols, W)
     Tn = int(i0v.shape[0])
@@ -531,7 +535,8 @@ def encode_strict(img: np.ndarray, params: CodecParams | None = None
 
     The residual-substitution chain runs as one Pallas kernel with the
     working field plane resident in VMEM (ops/pallas_strict) whenever the
-    geometry allows; otherwise the round-1 lax.scan formulation."""
+    geometry allows (W in {8, 16, 24, 32}, any R); otherwise the fast
+    native host encoder."""
     params = params or CodecParams(codec=8, strict=True)
     assert params.codec == 8 and params.strict
     _check_W(params)
@@ -547,9 +552,13 @@ def encode_strict(img: np.ndarray, params: CodecParams | None = None
             jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
             rows=rows, cols=cols, invert=True, use_pred=True))
     else:
-        out = jax.device_get(encode_analyze_strict(
-            jnp.asarray(grid), W=W, R=R, T_thresh=params.resolved_T(),
-            rows=rows, cols=cols))
+        # W outside {8, 16, 24, 32}: the lax.scan formulation
+        # (encode_analyze_strict) compiles pathologically — minutes for a
+        # 512^2 page — so route to the fast native host encoder instead
+        # (byte-identical streams; encode_analyze_strict stays available
+        # for explicit A/B benchmarking only)
+        from .codec import encode as host_encode
+        return host_encode(img, params)
     M = W * W
     hdr = _header(params, rows, cols, image_crc(img))
     res_bits = bitpack.np_unpack(out["residual"], M)

@@ -27,9 +27,12 @@ Here the chain runs inside a single Mosaic kernel instead:
   host packs records with native bic_pack_tiles — byte-identical streams
   to codec.encode(strict=True) (tests/test_pallas_strict.py).
 
-Constraints: W in {8, 16, 24, 32} and R % 8 == 0 (band offsets stay
-sublane-aligned, fields fit a uint32 lane); models/compress.encode_strict
-falls back to the host encoder otherwise.
+Constraints: W in {8, 16, 24, 32} (tile origins stay sublane-aligned,
+fields fit a uint32 lane); any R >= 1 is supported — the band GEOMETRY uses
+R padded up to the next multiple of 8 (sublane-aligned offsets) while the
+candidate masks keep the exact R, so streams are identical to the host
+encoder's for every radius.  models/compress.encode_strict falls back to
+the fast native host encoder for other W.
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ from .pallas_kernels import _field_plane, _selection_scalars
 
 
 def supported(W: int, R: int) -> bool:
-    return W in (8, 16, 24, 32) and R % 8 == 0 and R >= 8
+    return W in (8, 16, 24, 32) and R >= 1
 
 
 def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
@@ -81,8 +84,12 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
     ny, nx = gh // W, gw // W
     T = ny * nx
     M = W * W
-    wh = R + 1
-    bh = R + W
+    # band GEOMETRY radius: R padded to the next multiple of 8 so slice
+    # offsets stay sublane-aligned; the candidate masks inside the kernel
+    # use the exact R, so any radius yields host-identical streams
+    Rg = max(8, -(-R // 8) * 8)
+    wh = Rg + 1
+    bh = Rg + W
     Hp = gh - W + 1
     pad_h = max(0, wh - Hp)
     He = -(-max(gh + pad_h, bh) // 8) * 8
@@ -90,14 +97,14 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
 
     from ..ops.bitstream import enum_nbits
     enb = jnp.asarray([enum_nbits(M, w_) for w_ in range(M + 1)], jnp.int32)
-    oy_rows = np.clip(np.arange(ny, dtype=np.int32) * W - R, 0,
+    oy_rows = np.clip(np.arange(ny, dtype=np.int32) * W - Rg, 0,
                       max(Hp + pad_h - wh, 0)).astype(np.int32)
     assert (oy_rows % 8 == 0).all()
     oy_rows = jnp.asarray(oy_rows)
     j0_row = jnp.arange(nx, dtype=jnp.int32) * W
 
-    kernel = _make_kernel(W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
-                          invert=invert, use_pred=use_pred, nx=nx,
+    kernel = _make_kernel(W=W, R=R, Rg=Rg, T_thresh=T_thresh, rows=rows,
+                          cols=cols, invert=invert, use_pred=use_pred, nx=nx,
                           bh=bh, He=He, We=We, interpret=interpret,
                           debug_skip=debug_skip)
     vmem = pl.ANY if interpret else pltpu.VMEM
@@ -141,7 +148,7 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
     return run
 
 
-def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
+def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                  bh, He, We, interpret, debug_skip=None):
     # numpy scalars: jnp constants created outside the traced kernel would
     # be closure captures, which pallas rejects
@@ -202,9 +209,9 @@ def _make_kernel(*, W, R, T_thresh, rows, cols, invert, use_pred, nx,
             trow = (tilerows.astype(jnp.int32) * selj).sum(
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
-            # wh = R+1 rows cover every valid dy; static slices of the
-            # band value replace per-a rolls (no copy of the full band)
-            wh = R + 1
+            # wh = Rg+1 rows cover every valid dy (Rg >= R); static slices
+            # of the band value replace per-a rolls (no full-band copy)
+            wh = Rg + 1
             acc = jnp.zeros((wh, We), jnp.int32)
             if debug_skip != "acc":
                 for a in range(W):

@@ -19,6 +19,8 @@ FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 @pytest.mark.parametrize("image,W,R", [("text64.pbm", 8, 16),
                                        ("text64.pbm", 8, 32),
+                                       ("text64.pbm", 8, 12),
+                                       ("text64.pbm", 16, 21),
                                        ("ragged75x101.pbm", 8, 24)])
 def test_strict_kernel_matches_host(image, W, R):
     img = pnm.read_pbm(os.path.join(FIX, image))
@@ -42,7 +44,17 @@ def test_strict_kernel_residual_feedback(rng):
 
 
 def test_strict_unsupported_geometry_falls_back():
+    """W outside {8, 16, 24, 32} routes to the fast native host encoder —
+    NOT the pathologically-compiling lax.scan (VERDICT r2 item 8).  Any R
+    is kernel-supported now (geometry radius padded to a multiple of 8,
+    masks exact)."""
     img = pnm.read_pbm(os.path.join(FIX, "text64.pbm"))
-    p = codec.CodecParams(codec=8, W=8, R=12, strict=True)  # R % 8 != 0
-    assert not pallas_strict.supported(8, 12)
-    assert compress.encode_strict(img, p) == codec.encode(img, p)
+    assert pallas_strict.supported(8, 12)      # R % 8 != 0: now in-kernel
+    assert not pallas_strict.supported(20, 100)
+    p = codec.CodecParams(codec=8, W=20, R=100, strict=True)
+    import time
+    t0 = time.time()
+    blob = compress.encode_strict(img, p)
+    assert time.time() - t0 < 30, "fallback must be the fast host encoder"
+    assert blob == codec.encode(img, p)
+    np.testing.assert_array_equal(codec.decode(blob), img)
