@@ -27,7 +27,9 @@ import numpy as np
 def _add_codec_opts(p):
     p.add_argument("--codec", default="8",
                    help="2/3 dict, 4/6/7/8 windowed, 10 med+rle, 11 bsvd, "
-                        "12 cabic/arithmetic — best ratio (default 8)")
+                        "12 cabic/arithmetic, 13 scab striped-arithmetic — "
+                        "best ratio, parallel decode, TPU context stage "
+                        "(default 8)")
     p.add_argument("-W", type=int, default=16, help="tile width")
     p.add_argument("-T", type=int, default=None, help="early-exit threshold")
     p.add_argument("-R", type=int, default=128, help="search radius")
@@ -84,6 +86,9 @@ def cmd_compress(args):
             blob = compress.encode(img, params, profile=prof)
             if prof is not None:
                 print(prof.report())
+        elif args.codec == 13 and args.backend == "tpu":
+            # context template on device, range-coder update on host
+            blob = compress.encode_scab(img, params)
         else:
             blob = codec.encode(img, params)
         raw = img.size // 8
@@ -98,7 +103,7 @@ def _compress_auto(args):
     from .models import codec
     from .utils import pnm
     img = pnm.read_pbm(args.input)
-    cands = [codec.CodecParams(codec=12, W=0, T=0, R=0),
+    cands = [codec.CodecParams(codec=13, W=0, T=0, R=0),
              codec.CodecParams(codec=8, W=args.W, R=args.R,
                                strict=args.mode == "strict")]
     best = min((codec.encode(img, p) for p in cands), key=len)
@@ -256,9 +261,10 @@ def cmd_compare(args):
     rows = [("raw", raw, None)]
     for cid, label in [(2, "dict"), (3, "dict+T"), (4, "window"),
                        (7, "window+pred"), (8, "window+pred+inv"),
-                       (10, "med+rle"), (12, "cabic/arithmetic")]:
-        p = codec.CodecParams(codec=cid, W=args.W if cid != 12 else 0,
-                              R=args.R, T=0 if cid == 12 else None,
+                       (10, "med+rle"), (12, "cabic/arithmetic"),
+                       (13, "scab/striped-arith")]:
+        p = codec.CodecParams(codec=cid, W=args.W if cid < 10 else 0,
+                              R=args.R, T=0 if cid >= 12 else None,
                               strict=False)
         try:
             blob = codec.encode(img, p)

@@ -98,6 +98,16 @@ def _declare(lib):
     lib.bic_cabic_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.bic_scab_encode.restype = ctypes.c_long
+    lib.bic_scab_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bic_scab_decode.restype = ctypes.c_int
+    lib.bic_scab_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.bic_enum_roundtrip.restype = ctypes.c_long
     lib.bic_enum_roundtrip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -207,6 +217,45 @@ def cabic_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
     out = np.zeros(rows * cols, dtype=np.uint8)
     rc = lib.bic_cabic_decode(body, len(body), rows, cols,
                               _p(out, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return out.reshape(rows, cols).astype(bool)
+
+
+def scab_encode(img_u8: np.ndarray, tmpl: int, n_stripes: int, *,
+                ramp: bool = True,
+                ctx_pre: np.ndarray | None = None) -> bytes | None:
+    """Codec-13 payload (stripe-parallel context-adaptive arithmetic
+    coding); ctx_pre is an optional uint16 [rows, cols] device-computed
+    context map (must match the native incremental scan — tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows, cols = img_u8.shape
+    img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
+    if ctx_pre is not None:
+        ctx_pre = np.ascontiguousarray(ctx_pre, dtype=np.uint16)
+        assert ctx_pre.shape == (rows, cols)
+        cp = _p(ctx_pre, ctypes.c_uint16)
+    else:
+        cp = None
+    cap = rows * cols + 4 * n_stripes + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = lib.bic_scab_encode(_p(img_u8, ctypes.c_uint8), rows, cols,
+                            tmpl, n_stripes, int(ramp), cp,
+                            _p(out, ctypes.c_uint8), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def scab_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(rows * cols, dtype=np.uint8)
+    rc = lib.bic_scab_decode(body, len(body), rows, cols,
+                             _p(out, ctypes.c_uint8))
     if rc != 0:
         return None
     return out.reshape(rows, cols).astype(bool)

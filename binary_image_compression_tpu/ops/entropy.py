@@ -268,3 +268,21 @@ def cabac_model_update(p: int, bit: int) -> int:
     """16-bit adaptive probability of 1, shift-5 update, clamped."""
     p = p + ((0xFFFF - p) >> 5) if bit else p - (p >> 5)
     return min(max(p, 32), 0xFFDF)
+
+
+def scab_ramp_shift(n: int) -> int:
+    """Count-ramped adaptation rate (codec 13): fresh contexts move with
+    shift 2..4 before settling at the steady-state 5, so each independent
+    stripe's model warms in tens of pixels instead of thousands."""
+    return 2 if n < 2 else 3 if n < 4 else 4 if n < 8 else 5
+
+
+def scab_model_update(p: int, n: int, bit: int, ramp: bool
+                      ) -> tuple[int, int]:
+    """Codec-13 model update; returns (new_p, new_count).  Twin of the
+    native scab::Model::update (native/bic_native.cpp)."""
+    sh = scab_ramp_shift(n) if ramp else 5
+    if ramp and n < 8:
+        n += 1
+    p = p + ((0xFFFF - p) >> sh) if bit else p - (p >> sh)
+    return min(max(p, 32), 0xFFDF), n

@@ -1060,3 +1060,263 @@ long bic_encode_windowed(const uint8_t* img, const uint8_t* header,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// codec 13: stripe-parallel context-adaptive binary arithmetic coding (SCAB)
+// ===========================================================================
+// The codec-12 idea re-engineered for parallel hardware: the image splits
+// into horizontal stripes that are coded as fully INDEPENDENT arithmetic
+// streams (template reads above the stripe top return 0, each stripe's
+// model starts fresh), so encode and decode parallelize across host cores
+// and the per-pixel context ids can be computed on the TPU for the whole
+// page at once (models/compress.scab_ctx_map) — the encoder then does only
+// the serial range-coder update per pixel.
+//
+// Two refinements over codec 12 recover (and beat) the model-reset cost:
+//  * incremental context maintenance — 3 shift-registers per row instead of
+//    10 bounds-checked loads per pixel (~4x faster inner loop);
+//  * count-ramped adaptation — fresh contexts move with shift 2..4 before
+//    settling at 5, so each stripe's model warms in tens of pixels.
+//
+// Payload (after the BIC1 header): u8 tmpl (10/12), u8 ramp, u16 n_stripes,
+// u32 stripe_rows, u32 len[n_stripes], then the concatenated streams.
+
+#include <atomic>
+#include <thread>
+
+namespace scab {
+
+static inline int ramp_shift(uint32_t n) {
+  return n < 2 ? 2 : n < 4 ? 3 : n < 8 ? 4 : 5;
+}
+
+// one uint32 table entry per context: p in the low 16 bits, the ramp
+// count in bits 16.. — a single load/store per pixel (the separate count
+// array cost ~40% of the encode loop)
+struct Model {
+  std::vector<uint32_t> t;
+  bool ramp;
+  explicit Model(int bits, bool ramp_) : t(1u << bits, 0x8000),
+                                         ramp(ramp_) {}
+  static constexpr uint8_t RAMP[9] = {2, 2, 3, 3, 4, 4, 4, 4, 5};
+  // returns P(bit==1) BEFORE adapting the entry toward bit
+  inline uint32_t code(uint32_t ctx, int bit) {
+    uint32_t e = t[ctx];
+    uint32_t q = e & 0xFFFFu, n = e >> 16;
+    uint32_t p1 = q;
+    int sh = 5;
+    if (ramp) {
+      sh = RAMP[n];
+      n += (n < 8);
+    }
+    if (bit) q += (0xFFFFu - q) >> sh;
+    else     q -= q >> sh;
+    if (q < 32) q = 32; else if (q > 0xFFDF) q = 0xFFDF;
+    t[ctx] = q | (n << 16);
+    return p1;
+  }
+};
+constexpr uint8_t Model::RAMP[9];
+
+// Incremental context scan over one stripe.  Registers per row:
+//   a: row-2 window, b: row-1 window, cur: already-coded row-0 bits.
+// tmpl 10 (the codec-12 JBIG template, ctx_at above):
+//   ctx = a3<<7 | b5<<2 | cur2   (a3 = px2[c-1..c+1], b5 = px1[c-2..c+2],
+//                                 cur2 = px0[c-2..c-1], MSB = leftmost)
+// tmpl 12 adds px1[c+3] and px0[c-3]:
+//   ctx = a3<<9 | b6<<3 | cur3   (b6 = px1[c-2..c+3], cur3 = px0[c-3..c-1])
+template <int TMPL, class F>
+static void scan_stripe(const uint8_t* img, int rows, int cols,
+                        int top, int bot, F&& per_pixel) {
+  // zero-padded copies of the two context rows kill every per-pixel bounds
+  // check in the register advance (the lookahead reads run to c+4)
+  std::vector<uint8_t> r2e((size_t)cols + 8, 0), r1e((size_t)cols + 8, 0);
+  for (int r = top; r < bot; ++r) {
+    if (r - top >= 2)
+      std::memcpy(r2e.data(), img + (long)(r - 2) * cols, (size_t)cols);
+    else
+      std::memset(r2e.data(), 0, (size_t)cols);
+    if (r - top >= 1)
+      std::memcpy(r1e.data(), img + (long)(r - 1) * cols, (size_t)cols);
+    else
+      std::memset(r1e.data(), 0, (size_t)cols);
+    const uint8_t* p2 = r2e.data();
+    const uint8_t* p1 = r1e.data();
+    uint32_t a = ((uint32_t)p2[0] << 1) | p2[1];               // px2[-1..1]
+    uint32_t b, cur = 0;
+    if (TMPL == 10)
+      b = ((uint32_t)p1[0] << 2) | ((uint32_t)p1[1] << 1) | p1[2];
+    else
+      b = ((uint32_t)p1[0] << 3) | ((uint32_t)p1[1] << 2)
+        | ((uint32_t)p1[2] << 1) | p1[3];
+    for (int c = 0; c < cols; ++c) {
+      uint32_t ctx;
+      if (TMPL == 10) ctx = (a << 7) | (b << 2) | cur;
+      else            ctx = (a << 9) | (b << 3) | cur;
+      int bit = per_pixel((long)r * cols + c, ctx);
+      a = ((a << 1) | p2[c + 2]) & 7u;
+      if (TMPL == 10) {
+        b = ((b << 1) | p1[c + 3]) & 31u;
+        cur = ((cur << 1) | (uint32_t)bit) & 3u;
+      } else {
+        b = ((b << 1) | p1[c + 4]) & 63u;
+        cur = ((cur << 1) | (uint32_t)bit) & 7u;
+      }
+    }
+  }
+}
+
+struct StripeJob {
+  long out_len = -1;
+  std::vector<uint8_t> buf;
+};
+
+// encode one stripe; ctx_pre (nullable) supplies device-computed contexts
+template <int TMPL>
+static void encode_stripe(const uint8_t* img, int rows, int cols,
+                          int top, int bot, bool ramp,
+                          const uint16_t* ctx_pre, StripeJob& job) {
+  long pixels = (long)(bot - top) * cols;
+  // worst case: a clamped model mispredicting every bit costs ~11 bits per
+  // pixel transiently; size like the codec-12 entry (8 bits/pixel + slack)
+  // so overflow is a genuine error, not an undersized buffer
+  job.buf.resize((size_t)(pixels + 4096));
+  RC rc(job.buf.data(), (long)job.buf.size());
+  Model m(TMPL, ramp);
+  if (ctx_pre) {
+    const uint8_t* px = img + (long)top * cols;
+    const uint16_t* cx = ctx_pre + (long)top * cols;
+    for (long i = 0; i < pixels; ++i)
+      rc.encode_bit(m.code(cx[i], px[i]), px[i]);
+  } else {
+    scan_stripe<TMPL>(img, rows, cols, top, bot,
+                      [&](long idx, uint32_t ctx) -> int {
+                        int bit = img[idx];
+                        rc.encode_bit(m.code(ctx, bit), bit);
+                        return bit;
+                      });
+  }
+  job.out_len = rc.overflow ? -1 : rc.finish();
+}
+
+template <int TMPL>
+static void decode_stripe(const uint8_t* stream, long slen,
+                          uint8_t* img, int rows, int cols,
+                          int top, int bot, bool ramp) {
+  RD rd(stream, slen);
+  Model m(TMPL, ramp);
+  scan_stripe<TMPL>(img, rows, cols, top, bot,
+                    [&](long idx, uint32_t ctx) -> int {
+                      uint32_t e = m.t[ctx];
+                      int bit = rd.decode_bit(e & 0xFFFFu);
+                      m.code(ctx, bit);
+                      img[idx] = (uint8_t)bit;
+                      return bit;
+                    });
+}
+
+template <class Fn>
+static void run_stripes(int n_stripes, Fn&& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min<unsigned>(hw ? hw : 1, (unsigned)n_stripes);
+  if (nt <= 1) {
+    for (int s = 0; s < n_stripes; ++s) fn(s);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t)
+    ts.emplace_back([&] {
+      for (int s = next.fetch_add(1); s < n_stripes; s = next.fetch_add(1))
+        fn(s);
+    });
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace scab
+
+extern "C" {
+
+// Encode a 0/1 image as a codec-13 payload (no BIC1 header).  tmpl in
+// {10, 12}; n_stripes >= 1 (clamped to rows); ramp 0/1; ctx_pre nullable
+// uint16[rows*cols] precomputed contexts (must match the incremental scan
+// — the TPU path, tested).  Returns payload length or -1.
+long bic_scab_encode(const uint8_t* img, int rows, int cols, int tmpl,
+                     int n_stripes, int ramp, const uint16_t* ctx_pre,
+                     uint8_t* out, long cap) {
+  if (tmpl != 10 && tmpl != 12) return -1;
+  if (n_stripes < 1) n_stripes = 1;
+  if (n_stripes > rows) n_stripes = rows;
+  int stripe_rows = (rows + n_stripes - 1) / n_stripes;
+  n_stripes = (rows + stripe_rows - 1) / stripe_rows;
+  std::vector<scab::StripeJob> jobs(n_stripes);
+  scab::run_stripes(n_stripes, [&](int s) {
+    int top = s * stripe_rows;
+    int bot = std::min(rows, top + stripe_rows);
+    if (tmpl == 10)
+      scab::encode_stripe<10>(img, rows, cols, top, bot, ramp != 0,
+                              ctx_pre, jobs[s]);
+    else
+      scab::encode_stripe<12>(img, rows, cols, top, bot, ramp != 0,
+                              ctx_pre, jobs[s]);
+  });
+  long need = 8 + 4L * n_stripes;
+  for (auto& j : jobs) {
+    if (j.out_len < 0) return -1;
+    need += j.out_len;
+  }
+  if (need > cap) return -1;
+  uint8_t* w = out;
+  *w++ = (uint8_t)tmpl;
+  *w++ = (uint8_t)(ramp != 0);
+  *w++ = (uint8_t)(n_stripes & 0xFF);
+  *w++ = (uint8_t)(n_stripes >> 8);
+  std::memcpy(w, &stripe_rows, 4); w += 4;
+  for (auto& j : jobs) {
+    uint32_t ln = (uint32_t)j.out_len;
+    std::memcpy(w, &ln, 4); w += 4;
+  }
+  for (auto& j : jobs) {
+    std::memcpy(w, j.buf.data(), (size_t)j.out_len);
+    w += j.out_len;
+  }
+  return need;
+}
+
+int bic_scab_decode(const uint8_t* payload, long len, int rows, int cols,
+                    uint8_t* out_img) {
+  if (len < 8) return -1;
+  int tmpl = payload[0];
+  int ramp = payload[1];
+  int n_stripes = payload[2] | (payload[3] << 8);
+  int32_t stripe_rows;
+  std::memcpy(&stripe_rows, payload + 4, 4);
+  if ((tmpl != 10 && tmpl != 12) || n_stripes < 1 || stripe_rows < 1)
+    return -1;
+  if ((long)8 + 4L * n_stripes > len) return -1;
+  if ((long)(n_stripes - 1) * stripe_rows >= rows ||
+      (long)n_stripes * stripe_rows < rows)
+    return -1;
+  std::vector<uint32_t> lens(n_stripes);
+  std::memcpy(lens.data(), payload + 8, 4L * n_stripes);
+  std::vector<long> offs(n_stripes);
+  long off = 8 + 4L * n_stripes;
+  for (int s = 0; s < n_stripes; ++s) {
+    offs[s] = off;
+    off += lens[s];
+    if (off > len) return -1;
+  }
+  scab::run_stripes(n_stripes, [&](int s) {
+    int top = s * stripe_rows;
+    int bot = std::min(rows, top + stripe_rows);
+    if (tmpl == 10)
+      scab::decode_stripe<10>(payload + offs[s], lens[s], out_img,
+                              rows, cols, top, bot, ramp != 0);
+    else
+      scab::decode_stripe<12>(payload + offs[s], lens[s], out_img,
+                              rows, cols, top, bot, ramp != 0);
+  });
+  return 0;
+}
+
+}  // extern "C"

@@ -207,3 +207,95 @@ def test_ppm_color_roundtrip(rng):
     back, mv = codec.decode_ppm(blob)
     np.testing.assert_array_equal(back, rgb)
     assert mv == 255
+
+
+# ---------------------------------------------------------------------------
+# codec 13: stripe-parallel context-adaptive arithmetic coding
+# ---------------------------------------------------------------------------
+
+def test_scab_roundtrip_all_fixtures():
+    for name in ("text64.pbm", "text256.pbm", "noise96x80.pbm",
+                 "ragged75x101.pbm", "sparse128.pbm"):
+        img = load(name)
+        for tmpl in (10, 12):
+            p = codec.CodecParams(codec=13, W=tmpl, T=0, R=0)
+            blob = codec.encode(img, p)
+            np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_scab_beats_cabic_ratio():
+    """The 12-bit template + count-ramped adaptation must beat codec 12
+    even when striped (the r2 ratio crown, VERDICT item 7)."""
+    img = load("text256.pbm")
+    c12 = codec.encode(img, codec.CodecParams(codec=12, W=0, T=0, R=0))
+    c13 = codec.encode(img, codec.CodecParams(codec=13, W=12, T=2, R=0))
+    assert len(c13) < len(c12)
+
+
+def test_scab_python_twin_matches_native():
+    """Byte parity of the pure-Python twin (encoder AND decoder) with the
+    native threaded stripe coder, both templates."""
+    from binary_image_compression_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    import binary_image_compression_tpu.native as nat
+    img = load("ragged75x101.pbm")
+    for tmpl in (10, 12):
+        p = codec.CodecParams(codec=13, W=tmpl, T=3, R=0)
+        b_native = codec.encode(img, p)
+        real_e, real_d = nat.scab_encode, nat.scab_decode
+        nat.scab_encode = lambda *a, **k: None  # force python twin
+        nat.scab_decode = lambda *a, **k: None
+        try:
+            assert codec.encode(img, p) == b_native
+            np.testing.assert_array_equal(codec.decode(b_native), img)
+        finally:
+            nat.scab_encode, nat.scab_decode = real_e, real_d
+
+
+def test_scab_device_ctx_matches_incremental():
+    """The TPU context map (shifted planes, stripe-top masking) must yield
+    byte-identical streams to the host incremental scan."""
+    from binary_image_compression_tpu.models import compress
+    for name, T in [("text64.pbm", 2), ("ragged75x101.pbm", 3)]:
+        img = load(name)
+        for tmpl in (10, 12):
+            p = codec.CodecParams(codec=13, W=tmpl, T=T, R=0)
+            assert compress.encode_scab(img, p) == codec.encode(img, p)
+
+
+def test_scab_stripes_are_independent_streams():
+    """Corrupting one stripe's payload must not change the pixels any OTHER
+    stripe decodes (the parallel-decode contract)."""
+    img = load("text256.pbm")
+    p = codec.CodecParams(codec=13, W=12, T=4, R=0)
+    blob = bytearray(codec.encode(img, p))
+    import struct as st
+    body_off = codec.HEADER_LEN
+    n_stripes = blob[body_off + 2] | (blob[body_off + 3] << 8)
+    stripe_rows = st.unpack("<i", blob[body_off + 4:body_off + 8])[0]
+    lens = st.unpack(f"<{n_stripes}I",
+                     blob[body_off + 8:body_off + 8 + 4 * n_stripes])
+    # flip a byte in the middle of stripe 1's stream
+    s1 = body_off + 8 + 4 * n_stripes + lens[0] + lens[1] // 2
+    blob[s1] ^= 0xFF
+    out = codec.decode(bytes(blob), verify_crc=False)
+    rows = img.shape[0]
+    np.testing.assert_array_equal(out[:stripe_rows], img[:stripe_rows])
+    np.testing.assert_array_equal(out[2 * stripe_rows:],
+                                  img[2 * stripe_rows:])
+    assert (out[stripe_rows:2 * stripe_rows]
+            != img[stripe_rows:2 * stripe_rows]).any()
+
+
+def test_scab_corrupt_payload_raises():
+    img = load("text64.pbm")
+    blob = codec.encode(img, codec.CodecParams(codec=13, W=12, T=2, R=0))
+    # truncate inside the stripe table
+    with pytest.raises(ValueError):
+        codec.decode(blob[:codec.HEADER_LEN + 3])
+    # CRC catches stream damage
+    bad = bytearray(blob)
+    bad[-3] ^= 0x40
+    with pytest.raises(ValueError):
+        codec.decode(bytes(bad))
