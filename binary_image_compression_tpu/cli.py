@@ -38,6 +38,10 @@ def _add_codec_opts(p):
                         "original-pixel refs (parallel, usually smaller)")
     p.add_argument("--backend", choices=["auto", "host", "tpu"],
                    default="auto")
+    p.add_argument("--shard", choices=["none", "tiles"], default="none",
+                   help="tiles: shard ONE image's tile grid over all "
+                        "devices (multi-hop ppermute halo; byte-identical "
+                        "streams) — BASELINE config #4")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage wall clock + MB/s")
 
@@ -71,7 +75,17 @@ def cmd_compress(args):
     else:
         img = pnm.read_pbm(args.input)
         from .ops import pallas_strict
-        if args.codec == 8 and args.mode == "strict" \
+        if getattr(args, "shard", "none") == "tiles":
+            if not (args.codec in (4, 7, 8) and args.mode == "causal"):
+                sys.exit("--shard tiles requires a windowed codec (4/7/8) "
+                         "in causal mode")
+            from .parallel import mesh as pmesh
+            from .parallel import tileshard
+            import jax
+            m = pmesh.make_mesh(len(jax.devices()), data=len(jax.devices()),
+                                model=1)
+            blob = tileshard.encode_tile_sharded(m, img, params)
+        elif args.codec == 8 and args.mode == "strict" \
                 and args.backend in ("auto", "tpu") \
                 and pallas_strict.supported(args.W, args.R):
             # the strict residual-substitution chain runs as one Pallas

@@ -456,14 +456,52 @@ def med_planes(planes_bits, cols: int):
     return predict.med_forward(packed, cols)
 
 
-def encode_planes_device(planes: np.ndarray) -> list[bytes]:
-    """Codec-10 streams for a stack of bitplanes: device MED + native EG.
+@partial(jax.jit, static_argnames=("rows", "cols"))
+def _planes_payload_device(planes_bits, *, rows: int, cols: int):
+    """Full codec-10 payload assembly for a plane stack, ON DEVICE:
+    MED residual -> zero-run extraction -> adaptive-EG codes (the 32-state
+    LUT adaptation as an associative scan over transition-table composition)
+    -> parallel-prefix bit packing (ops/bitstream.pack_varlen).  The
+    BASELINE-named parallel bitstream assembly, producing product bytes."""
+    from ..ops import egdevice
+    n = rows * cols
+    packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
+    res = predict.med_forward(packed, cols)                 # [P, rows, nw]
+    res_bits = bitpack.unpack(res, cols).reshape(-1, n)     # [P, n]
 
-    Byte-identical to codec.encode(plane, CodecParams(codec=10)) per plane
-    (tests/test_codec.py::test_pgm_tpu_backend_matches_host)."""
+    def one(flat):
+        runs, n_runs = egdevice.runs_from_residual_flat(flat, n_pixels=n)
+        return egdevice.eg_encode_runs_device(runs, n_runs, n_pixels=n)
+
+    return jax.vmap(one)(res_bits)
+
+
+def encode_planes_device(planes: np.ndarray,
+                         assembly: str = "device") -> list[bytes]:
+    """Codec-10 streams for a stack of bitplanes, byte-identical to
+    codec.encode(plane, CodecParams(codec=10)) per plane (tests).
+
+    assembly="device" (default): the ENTIRE encode runs as one jit — MED,
+    run extraction, adaptive-EG and the parallel-prefix bit packing all on
+    device; the host only prepends headers (needs no native lib at all).
+    assembly="native": device MED + native C++ EG runs (the r2 path)."""
+    from ..ops.bitstream import words_to_bytes
     from . import codec as codec_mod
     planes = np.asarray(planes, dtype=bool)
     P, rows, cols = planes.shape
+    if assembly == "device":
+        words, total_bits = jax.device_get(_planes_payload_device(
+            jnp.asarray(planes, jnp.uint8), rows=rows, cols=cols))
+        out = []
+        for i in range(P):
+            tb = int(total_bits[i])
+            if tb > words.shape[1] * 32:  # can't happen per the 4-bit/pixel
+                return encode_planes_device(planes, "native")  # bound; guard
+            params = codec_mod.CodecParams(codec=10, W=0, T=0, R=0)
+            hdr = codec_mod._header(params, rows, cols,
+                                    codec_mod.image_crc(planes[i]))
+            out.append(hdr + words_to_bytes(words[i], tb))
+        return out
     res_packed = jax.device_get(med_planes(jnp.asarray(planes, jnp.uint8),
                                            cols))
     res_bits = bitpack.np_unpack(res_packed, cols)          # [P, rows, cols]

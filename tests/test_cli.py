@@ -112,3 +112,29 @@ def test_tpu_encoders_reject_bad_W():
         with _pytest.raises(ValueError, match="out of range"):
             compress.encode_strict(img, codec.CodecParams(codec=8, W=W,
                                                           strict=True))
+
+
+def test_cli_shard_tiles_stream_parity(tmp_path):
+    """`bic compress --shard tiles` routes through the tile-sharded analyzer
+    (multi-hop ppermute halo over the virtual 8-device mesh) and must emit
+    the SAME bytes as the unsharded encoder (BASELINE config #4)."""
+    src = os.path.join(FIX, "text64.pbm")
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import subprocess
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+           **env_extra}
+    r = subprocess.run([sys.executable, "-m",
+                        "binary_image_compression_tpu", "compress", src,
+                        "sharded.bic", "-W", "8", "-R", "32",
+                        "--shard", "tiles"],
+                       cwd=tmp_path, env=env, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    r2 = run_cli(["compress", src, "plain.bic", "-W", "8", "-R", "32",
+                  "--backend", "host"], tmp_path)
+    assert r2.returncode == 0, r2.stderr
+    assert open(tmp_path / "sharded.bic", "rb").read() == \
+        open(tmp_path / "plain.bic", "rb").read()
+    r3 = run_cli(["decompress", "sharded.bic", "out.pbm"], tmp_path)
+    assert r3.returncode == 0, r3.stderr
+    assert open(src, "rb").read() == open(tmp_path / "out.pbm", "rb").read()

@@ -139,3 +139,50 @@ def test_encode_batch_vmapped_matches_loop():
     p = codec.CodecParams(codec=8, W=8, R=32, strict=False)
     assert compress.encode_batch(pages, p, vmapped=True) == \
         compress.encode_batch(pages, p, vmapped=False)
+
+
+def test_device_eg_payload_matches_native(rng):
+    """The device-parallel adaptive-EG coder (32-state LUT adaptation as an
+    associative scan over transition composition + pack_varlen assembly)
+    must be byte-identical to the native serial coder across densities —
+    including the reference's anomalous initial state (eg.h ctor g=1/block=1)
+    and empty/full planes."""
+    import jax.numpy as jnp
+    from binary_image_compression_tpu import native
+    from binary_image_compression_tpu.models.codec import _med, _medrle_runs
+    from binary_image_compression_tpu.ops import egdevice
+    from binary_image_compression_tpu.ops.bitstream import words_to_bytes
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    for dens, shape in [(0.02, (64, 96)), (0.3, (64, 96)), (0.0, (32, 32)),
+                        (1.0, (32, 32)), (0.5, (33, 61)), (0.9, (64, 64))]:
+        img = rng.rand(*shape) < dens
+        res = _med(img.astype(np.uint8))
+        runs = _medrle_runs(img, res)
+        n = img.size
+        druns, n_runs = egdevice.runs_from_residual_flat(
+            jnp.asarray(res.ravel()), n_pixels=n)
+        assert int(n_runs) == len(runs)
+        np.testing.assert_array_equal(np.asarray(druns[:len(runs)]), runs)
+        words, total_bits = egdevice.eg_encode_runs_device(
+            druns, n_runs, n_pixels=n)
+        assert int(total_bits) <= words.size * 32
+        dev = words_to_bytes(np.asarray(words), int(total_bits))
+        assert dev == native.eg_encode_runs(runs), (dens, shape)
+
+
+def test_planes_device_assembly_matches_native_assembly():
+    """encode_planes_device(assembly='device') — the whole codec-10 encode
+    as ONE jit shipping bytes through pack_varlen — must equal the native
+    per-plane path, which equals the host codec (existing PGM tests)."""
+    from binary_image_compression_tpu.utils import bitplanes
+    rng2 = np.random.RandomState(9)
+    gray = (np.abs(np.cumsum(rng2.randn(64, 96), axis=1)) * 9).astype(
+        np.uint32) % 256
+    g = gray ^ (gray >> 1)
+    planes = bitplanes.decompose(g, 255)
+    a = compress.encode_planes_device(planes, assembly="device")
+    b = compress.encode_planes_device(planes, assembly="native")
+    assert a == b
+    for i, blob in enumerate(a):
+        np.testing.assert_array_equal(codec.decode(blob), planes[i])

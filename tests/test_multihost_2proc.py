@@ -55,6 +55,66 @@ offsets = multihost.merge_host_offsets(counts)
 other = (lo + len(pages) // 2) % len(pages)
 print("RESULT", pid, ",".join(map(str, counts.tolist())),
       ",".join(map(str, offsets.tolist())))
+
+# ---- sharded COMPUTE across processes (hosts axis used for real work) ----
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from binary_image_compression_tpu.models import bsvd
+from binary_image_compression_tpu.parallel import halo
+from binary_image_compression_tpu.ops import bitpack, predict
+from jax.sharding import Mesh
+
+# (a) one BSVD train step with samples sharded over (hosts, data) — 4
+# global devices, 2 per process; cross-host collectives ride the hosts axis
+N, K, M = 16, 8, 64
+X = (rng.rand(N, M) < 0.4).astype(np.int8)
+D0 = (rng.rand(K, M) < 0.3).astype(np.int8)
+A0 = (rng.rand(N, K) < 0.2).astype(np.int8)
+E0 = (X ^ (A0 @ D0) % 2).astype(np.int8)
+s_rows = NamedSharding(mesh, P(("hosts", "data"), None))
+rep = NamedSharding(mesh, P())
+
+@jax.jit
+def step(E, D, A):
+    E, D, A = bsvd.learn_train_step(E, D, A)
+    return (jax.lax.with_sharding_constraint(E, s_rows),
+            jax.lax.with_sharding_constraint(D, rep),
+            jax.lax.with_sharding_constraint(A, s_rows))
+
+Eg = jax.device_put(jnp.asarray(E0), s_rows)
+Dg = jax.device_put(jnp.asarray(D0), rep)
+Ag = jax.device_put(jnp.asarray(A0), s_rows)
+E1, D1, A1 = step(Eg, Dg, Ag)
+sums = jax.jit(lambda e, d, a: (e.sum(), d.sum(), a.sum()),
+               out_shardings=(rep, rep, rep))(E1, D1, A1)
+got = [int(x) for x in jax.device_get(sums)]
+# single-device reference (pure function of the same inputs)
+Er, Dr, Ar = jax.jit(bsvd.learn_train_step)(
+    jnp.asarray(E0), jnp.asarray(D0), jnp.asarray(A0))
+want = [int(Er.sum()), int(Dr.sum()), int(Ar.sum())]
+assert got == want, (got, want)
+print("TRAIN", pid, ",".join(map(str, got)))
+
+# (b) halo MED forward + inverse over a flat 4-device cross-process mesh
+flat = Mesh(np.array(jax.devices()), ("data",))
+img = (rng.rand(32, 64) < 0.35)
+packed = np.asarray(bitpack.np_pack(img.astype(np.uint8)))
+
+def wordsum(a):  # int32-safe checksum of uint32 words (no x64)
+    return ((a & 0xFFFF).astype(jnp.int32).sum()
+            + (a >> 16).astype(jnp.int32).sum())
+
+res = halo.med_forward_sharded(flat, jnp.asarray(packed), 64)
+back = halo.med_inverse_sharded(flat, res, 64)
+rep_f = NamedSharding(flat, P())
+ok_inv, csum = jax.device_get(jax.jit(
+    lambda b, r: ((b == jnp.asarray(packed)).all(), wordsum(r)),
+    out_shardings=(rep_f, rep_f))(back, res))
+assert bool(ok_inv)
+r_ref = np.asarray(predict.med_forward(jnp.asarray(packed), 64))
+csum_ref = int((r_ref & 0xFFFF).sum() + (r_ref >> 16).sum())
+assert int(csum) == csum_ref, (int(csum), csum_ref)
+print("HALO", pid, int(csum), int(bool(ok_inv)))
 """
 
 
@@ -87,8 +147,11 @@ def test_two_process_corpus_encode(tmp_path):
     for p in procs:
         out, err = p.communicate(timeout=240)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append([l for l in out.splitlines() if l.startswith("RESULT")])
-    # both processes computed identical global counts and offsets
-    a = outs[0][0].split()[2:]
-    b = outs[1][0].split()[2:]
-    assert a == b
+        outs.append({l.split()[0]: l.split()[2:] for l in out.splitlines()
+                     if l.split() and l.split()[0] in ("RESULT", "TRAIN",
+                                                       "HALO")})
+    # both processes agree on: corpus counts/offsets, the sharded BSVD
+    # train-step state sums, and the cross-process halo MED checksum
+    for key in ("RESULT", "TRAIN", "HALO"):
+        assert key in outs[0] and key in outs[1], (key, outs)
+        assert outs[0][key] == outs[1][key], (key, outs)
