@@ -127,6 +127,20 @@ def main():
     for _ in range(5):
         codec.decode(codec.encode(img, p12))
     t_cabic = (time.time() - t0) / 5
+    # codec 13: stripe-parallel arithmetic (r3) — the ratio crown; encode
+    # and decode measured separately (each parallelizes across host threads;
+    # the TPU context stage is encode_scab, benchmarked under tpu sections)
+    p13 = codec.CodecParams(codec=13, W=0, T=0, R=0)
+    b13 = codec.encode(img, p13)
+    assert (codec.decode(b13) == img).all()
+    t0 = time.time()
+    for _ in range(10):
+        codec.encode(img, p13)
+    t13e = (time.time() - t0) / 10
+    t0 = time.time()
+    for _ in range(10):
+        codec.decode(b13)
+    t13d = (time.time() - t0) / 10
     p10 = codec.CodecParams(codec=10, W=0, T=0, R=0)
     b10 = codec.encode(img, p10)
     assert (codec.decode(b10) == img).all()
@@ -147,6 +161,11 @@ def main():
         "codec12_host_mps": round(mp / t_cabic, 3),
         "codec12_backend": "host_cpu (single-thread C++ range coder)",
         "codec12_bytes": len(b12),
+        "codec13_encode_mps": round(mp / t13e, 3),
+        "codec13_decode_mps": round(mp / t13d, 3),
+        "codec13_backend": "host threads (2-core box); TPU context stage "
+                           "benchmarked as codec13_tpu_ctx below",
+        "codec13_bytes": len(b13),
         "codec10_host_mps": round(mp / t_mrle, 3),
         "codec10_bytes": len(b10),
     }
@@ -210,9 +229,26 @@ def main():
         signal.alarm(0)
         t0 = time.time(); jax.device_get(m1(g0)); t1 = time.time() - t0
         t0 = time.time(); jax.device_get(m21(g0)); t21 = time.time() - t0
-        result["codec8_device_true_ms_per_page"] = round(
-            (t21 - t1) / 20 * 1e3, 2)
+        dt_page = (t21 - t1) / 20
+        result["codec8_device_true_ms_per_page"] = round(dt_page * 1e3, 2)
         result["tunnel_rtt_ms"] = round(t1 * 1e3, 1)
+        # roofline accounting (VERDICT r2 item 3): analytic lane-op/byte
+        # counts for the fused search vs v5e peaks.  dt_page also includes
+        # the XLA prologue (field plane, band gather) and the finish stage
+        # (candidate gathers, MED, packing), so the kernel's true
+        # utilization is HIGHER than reported — this is a lower bound.
+        from binary_image_compression_tpu.utils import roofline
+        model = roofline.fused_search_model(W=16, R=128, rows=rows,
+                                            cols=cols)
+        util = roofline.utilization(model, dt_page)
+        result["fused_search_vpu_util_pct"] = util["vpu_util_pct"]
+        result["fused_search_lane_tops"] = util["vpu_lane_ops_per_s"]
+        result["fused_search_hbm_gbps"] = util["hbm_gbps"]
+        result["fused_search_bound"] = util["bound"]
+        result["roofline_note"] = (
+            "analytic: T*(3*W^2/32 + 40)*(R+1)*We lane-ops vs v5e VPU "
+            "8x128x4 ALUs @0.94GHz = 3.85e12 ops/s; HBM 819 GB/s; "
+            "lower bound (page time includes non-kernel stages)")
     except _CompileTimeout:
         result["codec8_device_true_ms_per_page"] = "skipped: compile stall"
 
