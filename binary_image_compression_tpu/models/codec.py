@@ -638,15 +638,23 @@ def encode_pgm(gray: np.ndarray, maxval: int,
 
     backend="tpu" runs every plane's MED prediction batched on device in one
     compiled program (models/compress.med_planes) with the run-length stage
-    in native C++ — byte-identical to the host codec-10 path (tests)."""
+    in native C++ — byte-identical to the host codec-10 path (tests).
+    backend="tpu-device-assembly" additionally runs the adaptive-EG coding
+    and the parallel-prefix bit packing on device (the whole payload as one
+    jit, ops/egdevice + ops/bitstream.pack_varlen) — same bytes; slower in
+    wall clock today (the LUT-adaptation scan dominates) but needs no native
+    lib and scales with the device mesh."""
     from ..utils import bitplanes
     gray = np.asarray(gray, dtype=np.uint32)
     if gray_code:
         gray = gray ^ (gray >> 1)
     planes = bitplanes.decompose(gray, maxval)
-    if backend == "tpu" and (params is None or params.codec == 10):
+    if backend in ("tpu", "tpu-device-assembly") and (
+            params is None or params.codec == 10):
         from . import compress as compress_mod
-        blobs = compress_mod.encode_planes_device(planes)
+        blobs = compress_mod.encode_planes_device(
+            planes,
+            "device" if backend == "tpu-device-assembly" else "native")
     elif params is None:
         # per-plane best-of: smooth high planes favor the arithmetic codec,
         # noisy low planes the run-length codec; pick by actual bytes

@@ -212,6 +212,84 @@ def _finish_selection(frame, sel, gather_coords, *, W: int, invert: bool):
                 idx_len=idx_len, residual4=res_packed4)
 
 
+@partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols",
+                                   "codec_id", "variant"))
+def encode_analyze_decided(img_packed, *, W: int, R: int, T_thresh: int,
+                           rows: int, cols: int, codec_id: int = 8,
+                           variant: str = "fused"):
+    """Fully-decided device analysis: packed upload in, packed records out.
+
+    The round-2 pipeline was host-bound (VERDICT r2 item 1): it uploaded the
+    dense int8 grid (8x the bits) and fetched ALL FOUR candidate residuals
+    per tile because the serial 2-context Golomb mode decision ran on the
+    host fused with the packer.  Here the decision runs on device
+    (ops/pallas_decide — the same integer math as _decide_modes, one tiny
+    serial kernel) and only the CHOSEN residual is gathered, so the
+    transfer is packed uint32 [rows, cols/32] in and ~6 small per-tile
+    arrays out (~3x less fetch, 8x less upload).
+
+    img_packed: uint32 [ny*W, nwords(nx*W)] (bitpack layout of the padded
+    tile grid).  Returns ONE int32 [T, 6 + nwords(M)] record block —
+    columns (mode, weight, k_used, rank, inv, idx_len, residual words
+    bitcast to int32) — so the whole batch leaves the device as a single
+    buffer (the remote link charges ~a round trip PER fetched buffer)."""
+    from ..ops import pallas_decide
+    M = W * W
+    ny, nx = -(-rows // W), -(-cols // W)
+    img = bitpack.unpack(img_packed, nx * W)
+    out = encode_analyze(img, W=W, R=R, T_thresh=T_thresh, rows=rows,
+                         cols=cols, invert=codec_id == 8, variant=variant)
+    enb = jnp.asarray([enum_nbits(M, w_) for w_ in range(M + 1)], jnp.int32)
+    mode, weight, k_used = pallas_decide.decide_modes(
+        out["weights4"], out["has_cands"], out["idx_len"], enb,
+        M=M, codec_id=codec_id)
+    res = jnp.take_along_axis(
+        out["residual4"], mode[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    is_match = mode < 2
+    cols6 = jnp.stack([
+        mode, weight, k_used, out["rank"],
+        jnp.where(is_match, out["inv"], False).astype(jnp.int32),
+        jnp.where(is_match, out["idx_len"], 0)], axis=1)
+    return jnp.concatenate(
+        [cols6, lax.bitcast_convert_type(res, jnp.int32)], axis=1)
+
+
+def _split_decided(block: np.ndarray) -> dict:
+    """Host view of the fused [T, 6 + nw] record block (no copies)."""
+    return dict(mode=block[:, 0], weight=block[:, 1], k_used=block[:, 2],
+                rank=block[:, 3], inv=block[:, 4].astype(bool),
+                idx_len=block[:, 5],
+                residual=np.ascontiguousarray(block[:, 6:]).view(np.uint32))
+
+
+def _pack_decided(out, hdr, M):
+    """Encoder tail for the decided path: native bic_pack_tiles, with a
+    pure-Python BitWriter fallback (byte-identical)."""
+    from .. import native
+    res_bits = bitpack.np_unpack(out["residual"], M)
+    blob = native.pack_tiles(hdr, M, out["mode"], out["inv"],
+                             out["rank"].astype(np.int64), out["idx_len"],
+                             out["weight"], res_bits.astype(np.uint8))
+    if blob is not None:
+        return blob
+    wtr = BitWriter()
+    wtr.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    for t in range(len(out["mode"])):
+        m = int(out["mode"][t])
+        if m < 2:
+            wtr.write_bits(1, 1)
+            wtr.write_bits(m & 1, 1)
+            wtr.write_bits(int(out["inv"][t]), 1)
+            wtr.write_bits(int(out["rank"][t]), int(out["idx_len"][t]))
+        else:
+            wtr.write_bits(0, 1)
+            wtr.write_bits(m & 1, 1)
+        golomb_encode(wtr, int(out["weight"][t]), int(out["k_used"][t]))
+        enum_encode(wtr, res_bits[t])
+    return wtr.getvalue()
+
+
 def _decide_modes(out, M, codec_id=8):
     """Host replay of the mode decision with the two adaptive Golomb
     contexts (identical integer math to models/codec._encode_windowed).
@@ -267,6 +345,21 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
     rows, cols = img.shape
     W, R = params.W, params.R
     ny, nx = -(-rows // W), -(-cols // W)
+    M = W * W
+    if params.codec == 8:
+        # decided path: packed upload, device mode decision, 1-residual fetch
+        with prof.stage("grid_prep", rows * cols // 8):
+            grid = np.zeros((ny * W, nx * W), dtype=bool)
+            grid[:rows, :cols] = img
+            gdev = jnp.asarray(bitpack.np_pack(grid))
+        with prof.stage("device_analysis"):
+            block = jax.device_get(encode_analyze_decided(
+                gdev, W=W, R=R, T_thresh=params.resolved_T(),
+                rows=rows, cols=cols, codec_id=8))
+        with prof.stage("native_pack"):
+            hdr = _header(params, rows, cols, image_crc(img))
+            blob = _pack_decided(_split_decided(block), hdr, M)
+        return blob
     with prof.stage("grid_prep", rows * cols // 8):
         grid = np.zeros((ny * W, nx * W), dtype=np.int8)
         grid[:rows, :cols] = img
@@ -277,7 +370,6 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
         # one batched transfer: per-array fetches pay ~ms-scale round trips
         # through the remote-TPU tunnel
         out = jax.device_get(out)
-    M = W * W
     with prof.stage("native_pack"):
         hdr = _header(params, rows, cols, image_crc(img))
         blob = _assemble(out, hdr, M, ny * nx, params.codec)
@@ -354,22 +446,40 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
             per_page = {k: v[b] for k, v in out.items()}
             return _assemble(per_page, hdr, M, Tn)
     else:
-        # enqueue every page's analysis (the device pipelines the kernels),
-        # STACK the per-page outputs on device so the fetch is one buffer
-        # per field instead of B*fields — the remote link charges a round
-        # trip per fetched buffer — then pack from a thread pool (CRC +
-        # native decide_pack drop the GIL)
-        gjs = [jnp.asarray(grid[b]) for b in range(B)]
-        handles = [encode_analyze(g, W=W, R=R, T_thresh=T_thresh,
-                                  rows=rows, cols=cols) for g in gjs]
-        stacked = {k: jnp.stack([h[k] for h in handles])
-                   for k in handles[0]}
-        out = jax.device_get(stacked)
+        # decided path (VERDICT r2 item 1): packed uploads (8x fewer bytes
+        # than the int8 grid), the mode decision ON DEVICE so only the
+        # chosen residual is fetched (~3x smaller), and CHUNKED fetches so
+        # the host pack/CRC of chunk k overlaps device compute of chunks
+        # k+1.. (dispatch is async; device_get synchronizes per chunk).
+        # Outputs are stacked per chunk — the remote link charges a round
+        # trip per fetched buffer.
+        packed = bitpack.np_pack(grid.astype(bool))          # [B, gh, nw]
+        handles = [encode_analyze_decided(
+            jnp.asarray(packed[b]), W=W, R=R, T_thresh=T_thresh,
+            rows=rows, cols=cols, codec_id=8) for b in range(B)]
+        # each analysis yields ONE fused [T, 6+nw] int32 block; stack into
+        # (at most) two chunk buffers: a single buffer per fetch (one tunnel
+        # round trip each), with chunk 0's host pack overlapping chunk 1's
+        # fetch.  A chunk per page measured 4x slower (an RTT per fetch).
+        CH = B if B <= 2 else -(-B // 2)
+        chunks = [(c0, jnp.stack(handles[c0:c0 + CH]))
+                  for c0 in range(0, B, CH)]
 
-        def build(b):
+        def build_decided(b, block):
             hdr = _header(params, rows, cols, image_crc(pages[b]))
-            per_page = {k: v[b] for k, v in out.items()}
-            return _assemble(per_page, hdr, M, Tn)
+            return _pack_decided(_split_decided(block), hdr, M)
+
+        results: list[bytes | None] = [None] * B
+        workers = min(B, os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {}
+            for c0, stk in chunks:
+                outc = jax.device_get(stk)      # blocks on this chunk only
+                for i in range(outc.shape[0]):
+                    futs[c0 + i] = ex.submit(build_decided, c0 + i, outc[i])
+            for b, f in futs.items():
+                results[b] = f.result()
+        return results  # type: ignore[return-value]
 
     workers = min(B, os.cpu_count() or 1)
     if workers <= 1:

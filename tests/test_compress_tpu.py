@@ -186,3 +186,42 @@ def test_planes_device_assembly_matches_native_assembly():
     assert a == b
     for i, blob in enumerate(a):
         np.testing.assert_array_equal(codec.decode(blob), planes[i])
+
+
+def test_decide_modes_kernel_matches_host_replay(rng):
+    """The device mode-decision kernel (ops/pallas_decide) must replay the
+    two adaptive Golomb contexts bit-identically to the host
+    (compress._decide_modes) — including k transitions, ties, and
+    no-candidate tiles."""
+    from binary_image_compression_tpu.ops import pallas_decide
+    from binary_image_compression_tpu.ops.bitstream import enum_nbits
+    M = 64
+    T = 300
+    w4 = rng.randint(0, M + 1, size=(T, 4)).astype(np.int32)
+    hc = rng.rand(T) < 0.8
+    il = rng.randint(1, 12, size=T).astype(np.int32)
+    out = dict(weights4=w4, has_cands=hc, idx_len=il)
+    for cid in (4, 7, 8):
+        mode_h, weight_h, k_h = compress._decide_modes(out, M, cid)
+        enb = jnp.asarray([enum_nbits(M, w) for w in range(M + 1)],
+                          jnp.int32)
+        mode_d, weight_d, k_d = jax.device_get(pallas_decide.decide_modes(
+            jnp.asarray(w4), jnp.asarray(hc), jnp.asarray(il), enb,
+            M=M, codec_id=cid))
+        np.testing.assert_array_equal(mode_d, mode_h)
+        np.testing.assert_array_equal(weight_d, weight_h)
+        np.testing.assert_array_equal(k_d, k_h)
+
+
+def test_encode_pgm_device_assembly_backend():
+    """encode_pgm(backend='tpu-device-assembly') routes the payload through
+    the on-device EG + pack_varlen assembly and stays byte-identical."""
+    rng = np.random.RandomState(3)
+    gray = (np.cumsum(rng.rand(48, 64) < 0.2, axis=1) * 11 % 64).astype(
+        np.uint32)
+    a = codec.encode_pgm(gray, 63, backend="tpu-device-assembly")
+    b = codec.encode_pgm(gray, 63, backend="tpu")
+    assert a == b
+    g2, mv = codec.decode_pgm(a)
+    assert mv == 63
+    np.testing.assert_array_equal(g2, gray)
