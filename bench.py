@@ -246,9 +246,10 @@ def main():
         result["fused_search_hbm_gbps"] = util["hbm_gbps"]
         result["fused_search_bound"] = util["bound"]
         result["roofline_note"] = (
-            "analytic: T*(3*W^2/32 + 40)*(R+1)*We lane-ops vs v5e VPU "
-            "8x128x4 ALUs @0.94GHz = 3.85e12 ops/s; HBM 819 GB/s; "
-            "lower bound (page time includes non-kernel stages)")
+            "analytic: T*(3*W^2/32 + 20)*(R+1)*We lane-ops (packed-priority "
+            "selection; ranks are closed-form scalars) vs v5e VPU 8x128x4 "
+            "ALUs @0.94GHz = 3.85e12 ops/s; HBM 819 GB/s; lower bound "
+            "(page time includes non-kernel stages)")
     except _CompileTimeout:
         result["codec8_device_true_ms_per_page"] = "skipped: compile stall"
 

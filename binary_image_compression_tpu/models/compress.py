@@ -457,13 +457,19 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
         handles = [encode_analyze_decided(
             jnp.asarray(packed[b]), W=W, R=R, T_thresh=T_thresh,
             rows=rows, cols=cols, codec_id=8) for b in range(B)]
-        # each analysis yields ONE fused [T, 6+nw] int32 block; stack into
-        # (at most) two chunk buffers: a single buffer per fetch (one tunnel
-        # round trip each), with chunk 0's host pack overlapping chunk 1's
-        # fetch.  A chunk per page measured 4x slower (an RTT per fetch).
-        CH = B if B <= 2 else -(-B // 2)
+        # each analysis yields ONE fused [T, 6+nw] int32 block; stack into a
+        # few chunk buffers (one tunnel round trip per fetched buffer) and
+        # start ASYNC host copies for all of them immediately: each chunk's
+        # transfer overlaps the device compute of later chunks, and the
+        # host pack of chunk k overlaps the in-flight copy of chunk k+1.
+        # A chunk per page measured 4x slower (an RTT per fetch); one big
+        # chunk loses the pack/copy overlap.
+        nch = max(1, int(os.environ.get("BIC_BATCH_CHUNKS", "4")))
+        CH = B if B <= 2 else -(-B // nch)
         chunks = [(c0, jnp.stack(handles[c0:c0 + CH]))
                   for c0 in range(0, B, CH)]
+        for _, stk in chunks:
+            stk.copy_to_host_async()
 
         def build_decided(b, block):
             hdr = _header(params, rows, cols, image_crc(pages[b]))

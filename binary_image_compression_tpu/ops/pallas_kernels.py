@@ -200,6 +200,218 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
             jnp.any(valid).astype(jnp.int32), bestidx % w)
 
 
+def packed_sel_layout(W: int, R: int, cols: int):
+    """Bit layout for the single-reduction packed selection, or None if the
+    (key, distance, inv) triple cannot fit below the int32 INF sentinel.
+
+    The serial-scan selection semantics (stop-first, then lexicographic
+    (d', key) argmin) collapse into ONE min-reduction over
+
+        p = stop ? key << (db+1) | d' << 1 | inv            (< FLAG)
+                 : FLAG | d' << (kb+1) | key << 1 | inv
+
+    because scan keys are unique per candidate (ord1 < off1 <= ord2 and each
+    grid's order is injective), so the packed minimum IS the reference scan
+    outcome and the winning candidate's coordinates decode from the key by
+    scalar arithmetic.  Fits comfortably for every codec shape (W <= 32,
+    R <= 128, cols <= ~1500); callers fall back to the grid selection when
+    it doesn't."""
+    M = W * W
+    span = cols + 1
+    off1 = (W + 2) * span
+    keymax = off1 + (R + 1) * span      # > any ord2; every ord1 < off1
+    kb = keymax.bit_length()
+    db = M.bit_length()                 # d' <= M
+    if db + kb + 3 > 30:                # FLAG | d' | key | inv < INF = 2^30
+        return None
+    return dict(span=span, off1=off1, kb=kb, db=db,
+                flag=1 << (db + kb + 2))
+
+
+def _selection_scalars_packed(d, i0, j0, oy, *, W, R, T_thresh, cols,
+                              invert, w, lay, rowparts=None):
+    """Packed-priority selection: bit-identical outputs to
+    _selection_scalars but with ONE grid reduction (jnp.min over the packed
+    priority) instead of ~10, and the rank / candidate counts as closed-form
+    scalar rectangle arithmetic instead of masked grid sums.
+
+    Assumes the band starts at frame column 0 (ox == 0 — true for the fused
+    full-width row bands) and covers every in-window candidate row
+    (oy <= i0 - R when unclamped; see fused_search_select)."""
+    M = W * W
+    span, off1 = lay["span"], lay["off1"]
+    kb, db = lay["kb"], lay["db"]
+    FLAG = jnp.int32(lay["flag"])
+    if rowparts is None:
+        yyc = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], 1), 0) + oy
+        rowm1 = (yyc >= jnp.maximum(i0 - W, 0)) & (yyc <= i0)
+        rowm2 = (yyc >= jnp.maximum(i0 - R, 0)) & (yyc <= i0 - W)
+        rt1 = (i0 - yyc) * span
+        rt2 = (i0 - W - yyc) * span
+    else:
+        rowm1, rowm2, rt1, rt2, _ = rowparts
+    maxx = cols - W
+    minj = jnp.maximum(j0 - R, 0)
+    maxj2 = jnp.maximum(j0 - W, 0)
+    maxj = jnp.minimum(j0 + R, maxx)
+
+    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0 >= W)
+    colm2 = (xxr >= minj) & (xxr <= maxj)
+    in1 = rowm1 & colm1
+    in2 = rowm2 & colm2
+    key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
+    key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
+    key = jnp.minimum(key1, key2)
+    valid = in1 | in2
+
+    if invert:
+        dp = jnp.minimum(d, M - d)
+        invb = ((M - d) < d).astype(jnp.int32)
+    else:
+        dp = d
+        invb = jnp.zeros_like(d)
+
+    keyv = jnp.where(valid, key, 0)     # keep shifts in-range off-window
+    stop = dp <= T_thresh
+    dinv = (dp << 1) | invb
+    p = jnp.where(stop, (keyv << (db + 1)) | dinv,
+                  FLAG | (dp << (kb + 1)) | (keyv << 1) | invb)
+    pr = jnp.min(jnp.where(valid, p, _INF))          # the ONE reduction
+
+    found = (pr < _INF).astype(jnp.int32)
+    is_stop = pr < FLAG
+    kmask = jnp.int32((1 << kb) - 1)
+    dmask = jnp.int32((1 << db) - 1)
+    key_sel = jnp.where(is_stop, pr >> (db + 1), (pr >> 1) & kmask)
+    bestd = jnp.where(is_stop, (pr >> 1) & dmask, (pr >> (kb + 1)) & dmask)
+    inv_s = pr & 1
+
+    # decode the winning candidate's (y, x) from its scan key
+    g2 = key_sel >= off1
+    q = jnp.where(g2, key_sel - off1, key_sel)
+    ry = lax.div(q, jnp.int32(span))                 # q >= 0
+    xt = q - ry * span
+    y = jnp.where(g2, i0 - W - ry, i0 - ry)
+    x = jnp.where(g2, maxj - xt, maxj2 - xt)
+    dy = jnp.where(found == 1, y - oy, 0)
+    dx = jnp.where(found == 1, x, 0)
+    inv_s = jnp.where(found == 1, inv_s, 0)
+    bestd = jnp.where(found == 1, bestd, 0)
+
+    # closed-form candidate counts: both window grids are rectangles in
+    # (scan-row, scan-col) space, fully covered by the band (see caller)
+    r1 = jnp.minimum(W, i0) + 1
+    c1 = jnp.where(j0 >= W, maxj2 - minj + 1, 0)
+    r2 = jnp.maximum(i0 - W - jnp.maximum(i0 - R, 0) + 1, 0)
+    c2 = maxj - minj + 1
+    n_cands = r1 * c1 + r2 * c2
+
+    def count_lt(ks, c, r):
+        # |{(ry, xt): 0<=ry<r, 0<=xt<c, ry*span + xt < ks}| (c < span)
+        nf = jnp.clip(jnp.where(ks >= c, lax.div(ks - c, jnp.int32(span))
+                                + 1, 0), 0, r)
+        rem = jnp.clip(ks - nf * span, 0, c)
+        part = jnp.where(nf < r, rem, 0)
+        return jnp.where((c > 0) & (ks > 0), nf * c + part, 0)
+
+    rank = count_lt(key_sel, c1, r1) + \
+        count_lt(jnp.where(g2, key_sel - off1, jnp.int32(-1)), c2, r2)
+    rank = jnp.where(found == 1, rank, 0)
+    has_cands = (n_cands > 0).astype(jnp.int32)
+    return (bestd, dy, inv_s, found, rank, n_cands, has_cands, dx)
+
+
+def _selection_packed_group(d, i0, j0v, oy, *, W, R, T_thresh, cols,
+                            invert, lay, rowparts):
+    """Group-vectorized packed selection: d is [G, wh, We] for G tiles of
+    one tile row (shared i0/oy, per-tile j0v [G, 1, 1]).  Returns the 8
+    outputs as int32 [G] vectors.  Same bit-exact semantics as
+    _selection_scalars_packed, but one Mosaic op stream serves G tiles —
+    fewer, larger VPU ops than a per-tile loop."""
+    M = W * W
+    span, off1 = lay["span"], lay["off1"]
+    kb, db = lay["kb"], lay["db"]
+    FLAG = jnp.int32(lay["flag"])
+    rowm1, rowm2, rt1, rt2, _ = rowparts          # [wh, 1] pieces
+    rowm1, rowm2 = rowm1[None], rowm2[None]       # [1, wh, 1]
+    rt1, rt2 = rt1[None], rt2[None]
+    G, wh, w = d.shape
+    maxx = cols - W
+    minj = jnp.maximum(j0v - R, 0)                # [G, 1, 1]
+    maxj2 = jnp.maximum(j0v - W, 0)
+    maxj = jnp.minimum(j0v + R, maxx)
+
+    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0v >= W)   # [G, 1, w]
+    colm2 = (xxr >= minj) & (xxr <= maxj)
+    in1 = rowm1 & colm1                                   # [G, wh, w]
+    in2 = rowm2 & colm2
+    key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
+    key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
+    key = jnp.minimum(key1, key2)
+    valid = in1 | in2
+
+    if invert:
+        dp = jnp.minimum(d, M - d)
+        invb = ((M - d) < d).astype(jnp.int32)
+    else:
+        dp = d
+        invb = jnp.zeros_like(d)
+
+    keyv = jnp.where(valid, key, 0)
+    stop = dp <= T_thresh
+    dinv = (dp << 1) | invb
+    p = jnp.where(stop, (keyv << (db + 1)) | dinv,
+                  FLAG | (dp << (kb + 1)) | (keyv << 1) | invb)
+    pr = jnp.min(jnp.min(jnp.where(valid, p, _INF), axis=2),
+                 axis=1, keepdims=True)                    # [G, 1]
+
+    j0 = j0v.reshape(G, 1)
+    i0v = jnp.zeros((G, 1), jnp.int32) + i0
+    minj = jnp.maximum(j0 - R, 0)
+    maxj2 = jnp.maximum(j0 - W, 0)
+    maxj = jnp.minimum(j0 + R, maxx)
+
+    found = (pr < _INF).astype(jnp.int32)
+    is_stop = pr < FLAG
+    kmask = jnp.int32((1 << kb) - 1)
+    dmask = jnp.int32((1 << db) - 1)
+    key_sel = jnp.where(is_stop, pr >> (db + 1), (pr >> 1) & kmask)
+    bestd = jnp.where(is_stop, (pr >> 1) & dmask, (pr >> (kb + 1)) & dmask)
+    inv_s = pr & 1
+
+    g2 = key_sel >= off1
+    q = jnp.where(g2, key_sel - off1, key_sel)
+    ry = lax.div(q, jnp.int32(span))
+    xt = q - ry * span
+    y = jnp.where(g2, i0v - W - ry, i0v - ry)
+    x = jnp.where(g2, maxj - xt, maxj2 - xt)
+    dy = jnp.where(found == 1, y - oy, 0)
+    dx = jnp.where(found == 1, x, 0)
+    inv_s = jnp.where(found == 1, inv_s, 0)
+    bestd = jnp.where(found == 1, bestd, 0)
+
+    r1 = jnp.minimum(W, i0v) + 1
+    c1 = jnp.where(j0 >= W, maxj2 - minj + 1, 0)
+    r2 = jnp.maximum(i0v - W - jnp.maximum(i0v - R, 0) + 1, 0)
+    c2 = maxj - minj + 1
+    n_cands = r1 * c1 + r2 * c2
+
+    def count_lt(ks, c, r):
+        nf = jnp.clip(jnp.where(ks >= c, lax.div(ks - c, jnp.int32(span))
+                                + 1, 0), 0, r)
+        rem = jnp.clip(ks - nf * span, 0, c)
+        part = jnp.where(nf < r, rem, 0)
+        return jnp.where((c > 0) & (ks > 0), nf * c + part, 0)
+
+    rank = count_lt(key_sel, c1, r1) + \
+        count_lt(jnp.where(g2, key_sel - off1, jnp.int32(-1)), c2, r2)
+    rank = jnp.where(found == 1, rank, 0)
+    has_cands = (n_cands > 0).astype(jnp.int32)
+    return (bestd, dy, inv_s, found, rank, n_cands, has_cands, dx)
+
+
 def select_windows(d, i0, j0, oy, ox, *, W: int, R: int, T_thresh: int,
                    rows: int, cols: int, invert: bool,
                    interpret: bool | None = None):
@@ -331,6 +543,19 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     # that shares each band view across tiles measured slightly SLOWER
     # (accumulator spills beat the read savings) — keep the simple loop.
     wh = R + 1
+    lay = packed_sel_layout(W, R, cols)
+    # tile-group size: G tiles of a row share one Mosaic op stream
+    # ([G, wh, We] tensors) so the VPU sees few large ops instead of many
+    # small ones.  Bounded by VMEM: ~6 live [G, wh, We] int32 temporaries.
+    import os as _os
+    G = 1
+    if lay is not None:
+        genv = int(_os.environ.get("BIC_FUSED_GROUP", "0"))
+        for g in ((genv,) if genv else (16, 8, 4, 2)):
+            if g <= nx and 6 * g * wh * We * 4 <= 12 * 2 ** 20:
+                G = g
+                break
+    nfull, rem = divmod(nx, G)
 
     def kernel(yb_ref, i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
         r = pl.program_id(0)
@@ -341,20 +566,53 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         rowparts = _selection_rowparts(i0s, oys, W=W, R=R, cols=cols,
                                        h=wh, w=We)
 
+        def group_body(g0, Gs):
+            # per-tile scalars gathered from SMEM; tv is splatted to
+            # [Gs, wh, 1] (not [Gs, 1, 1]) because Mosaic cannot broadcast
+            # along sublanes and lanes at once
+            j0v = jnp.concatenate(
+                [jnp.zeros((1, 1, 1), jnp.int32) + j0_ref[r, g0 + g]
+                 for g in range(Gs)], axis=0)
+            acc = jnp.zeros((Gs, wh, We), jnp.int32)
+            for a in range(nit):   # k row fields per lane (see packing)
+                tv = jnp.concatenate(
+                    [jnp.zeros((1, wh, 1), jnp.uint32)
+                     + trow_ref[r, g0 + g, a] for g in range(Gs)], axis=0)
+                x = bandv[a:a + wh, :][None] ^ tv
+                acc = acc + lax.population_count(x).astype(jnp.int32)
+            outs = _selection_packed_group(
+                acc, i0s, j0v, oys, W=W, R=R, T_thresh=T_thresh,
+                cols=cols, invert=invert, lay=lay, rowparts=rowparts)
+            out_ref[0, pl.ds(g0, Gs), :] = jnp.concatenate(
+                outs, axis=1).astype(jnp.int32)
+
         def tile_body(t, carry):
             acc = jnp.zeros((wh, We), jnp.int32)
             for a in range(nit):   # k row fields per lane (see packing above)
                 x = bandv[a:a + wh, :] ^ trow_ref[r, t, a]
                 acc = acc + lax.population_count(x).astype(jnp.int32)
-            outs = _selection_scalars(
-                acc, i0s, j0_ref[r, t], oys, jnp.int32(0),
-                W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
-                invert=invert, h=wh, w=We, rowparts=rowparts)
+            if lay is not None:
+                outs = _selection_scalars_packed(
+                    acc, i0s, j0_ref[r, t], oys, W=W, R=R,
+                    T_thresh=T_thresh, cols=cols, invert=invert,
+                    w=We, lay=lay, rowparts=rowparts)
+            else:
+                outs = _selection_scalars(
+                    acc, i0s, j0_ref[r, t], oys, jnp.int32(0),
+                    W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
+                    invert=invert, h=wh, w=We, rowparts=rowparts)
             out_ref[0, pl.ds(t, 1), :] = \
                 jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
             return carry
 
-        lax.fori_loop(0, nx, tile_body, jnp.int32(0))
+        if G > 1:
+            lax.fori_loop(0, nfull,
+                          lambda i, c: (group_body(i * G, G), c)[1],
+                          jnp.int32(0))
+            if rem:
+                group_body(jnp.int32(nfull * G), rem)
+        else:
+            lax.fori_loop(0, nx, tile_body, jnp.int32(0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

@@ -46,7 +46,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _field_plane, _selection_scalars
+from .pallas_kernels import (_field_plane, _selection_scalars,
+                             _selection_scalars_packed, packed_sel_layout)
 
 
 def supported(W: int, R: int) -> bool:
@@ -166,6 +167,8 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
         return x if shift == 0 else pltpu.roll(x, x.shape[-1] - shift,
                                                axis=x.ndim - 1)
 
+    lay = packed_sel_layout(W, R, cols)
+
     def golomb_cost(k, u):
         return k.astype(jnp.int32) + (u >> k.astype(jnp.int32)) + 1
 
@@ -221,6 +224,10 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
             if debug_skip == "selection":
                 z = acc[0, 0] & 0
                 outs = (acc.sum() & 255, z, z, z + 1, z, z + 7, z + 1, z)
+            elif lay is not None:
+                outs = _selection_scalars_packed(
+                    acc, i0, j0, oy, W=W, R=R, T_thresh=T_thresh,
+                    cols=cols, invert=invert, w=We, lay=lay)
             else:
                 outs = _selection_scalars(
                     acc, i0, j0, oy, jnp.int32(0), W=W, R=R,

@@ -26,10 +26,14 @@ def field_packing(W: int) -> int:
     return next((k for k in (4, 3, 2) if W * k <= 32 and W % k == 0), 1)
 
 
-# Full-[wh, We] elementwise/select/reduce ops in _selection_scalars, counted
-# from the source: key construction ~9, dp/inv 3, stop/min/argmin chain ~17,
-# rank + n_cands reductions ~6, plus the where/stack tails ~5.
-SELECTION_LANE_OPS = 40
+# Full-[wh, We] elementwise/select/reduce ops per tile, counted from the
+# source.  The round-3 packed-priority selection
+# (pallas_kernels._selection_packed_group): key construction ~7 (masks,
+# orders, min), dp/inv/stop 4, priority packing ~8, the single min
+# reduction ~1 — ranks and candidate counts are closed-form scalar
+# arithmetic, so they cost no grid ops at all.  (The round-2 masked-grid
+# selection was ~40: ~10 separate reductions.)
+SELECTION_LANE_OPS = 20
 
 
 def fused_search_model(*, W: int, R: int, rows: int, cols: int) -> dict:

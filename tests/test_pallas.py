@@ -55,6 +55,43 @@ def test_select_kernel_matches_xla(rng):
                                           err_msg=f"invert={invert} {k}")
 
 
+@pytest.mark.parametrize("case", [
+    # rows, cols, W, R, T_thresh, invert, density
+    (64, 64, 16, 24, 1, True, 0.3),
+    (100, 90, 16, 32, 5, True, 0.1),      # ragged dims
+    (48, 48, 8, 16, 0, True, 0.5),
+    (96, 128, 32, 40, 2, True, 0.2),
+    (80, 80, 16, 128, 1, True, 0.05),     # R larger than the image
+    (33, 70, 16, 24, 300, False, 0.4),    # huge T: every candidate stops
+])
+def test_packed_selection_matches_grid(rng, case):
+    """The single-reduction packed-priority selection (closed-form ranks,
+    key-decoded coordinates) is bit-identical to the masked-grid selection
+    inside the fused kernel."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from binary_image_compression_tpu.ops import search
+    rows, cols, W, R, T_thresh, invert, density = case
+    ny, nx = -(-rows // W), -(-cols // W)
+    grid = np.zeros((ny * W, nx * W), dtype=np.int8)
+    grid[:rows, :cols] = rng.rand(rows, cols) < density
+    i0, j0, ny, nx = search.tile_origins(rows, cols, W)
+    assert pk.packed_sel_layout(W, R, cols) is not None
+    outs = {}
+    for name, lay_fn in (("packed", pk.packed_sel_layout),
+                         ("grid", lambda *a: None)):
+        with mock.patch.object(pk, "packed_sel_layout", lay_fn):
+            sel, _, _ = pk.fused_search_select(
+                jnp.asarray(grid), i0, j0, ny, nx, W=W, R=R,
+                T_thresh=T_thresh, rows=rows, cols=cols, invert=invert)
+            outs[name] = {k: np.asarray(v) for k, v in sel.items()}
+    for k in outs["grid"]:
+        np.testing.assert_array_equal(outs["grid"][k], outs["packed"][k],
+                                      err_msg=k)
+
+
 def test_fused_search_matches_banded(rng):
     """One-kernel search (field XOR+popcount + in-register selection) ==
     banded-MXU maps + selection, on ragged dims."""
