@@ -82,10 +82,11 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
       * "fused" (default, W <= 32): single Pallas kernel — W-bit row fields
         XOR+popcounted against row-bands in VMEM with the serial-scan
         selection in-register, no HBM distance maps at all
-        (ops/pallas_kernels.fused_search_select).  4.4-4.8 ms/page
-        device-true on a v5e at 512^2/W16/R128 (vs ~91 ms banded-MXU maps,
-        ~62 ms round-1 conv+XLA-selection).  Falls back to "banded" for
-        W > 32.
+        (ops/pallas_kernels.fused_search_select).  ~1.26 ms/page full
+        analysis device-true on a v5e at 512^2/W16/R128 with the round-3
+        packed-priority selection, G=4 tile grouping and the field-domain
+        finish (4.6-4.8 in round 2; ~91 ms banded-MXU maps, ~62 ms round-1
+        conv+XLA-selection).  Falls back to "banded" for W > 32.
       * "banded": row-band MXU contractions over the W^2 patch dimension
         via lax.scan (search.window_distance_maps_banded) + the Pallas
         selection kernel;
@@ -103,6 +104,15 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
 
     if variant == "fused" and W <= 32:
         from ..ops import pallas_kernels
+        if 32 % W == 0:
+            # field-domain finish: patches gathered as [T, W] uint32 row
+            # fields from the kernel's own plane (8x fewer elements than
+            # dense [T, W, W] pixel gathers, no bool re-pack)
+            sel, oy, ox, plane = pallas_kernels.fused_search_select(
+                img, i0, j0, ny, nx, W=W, R=R, T_thresh=T_thresh,
+                rows=rows, cols=cols, invert=invert, with_plane=True)
+            return _finish_selection_fields(plane, sel, (i0, j0, oy, ox),
+                                            W=W, invert=invert)
         sel, oy, ox = pallas_kernels.fused_search_select(
             img, i0, j0, ny, nx, W=W, R=R, T_thresh=T_thresh,
             rows=rows, cols=cols, invert=invert)
@@ -212,6 +222,50 @@ def _finish_selection(frame, sel, gather_coords, *, W: int, invert: bool):
                 idx_len=idx_len, residual4=res_packed4)
 
 
+def _finish_selection_fields(plane, sel, gather_coords, *, W: int,
+                             invert: bool):
+    """Field-domain twin of _finish_selection: the fused kernel's plane
+    E[y, x] already holds every W-bit row field, so the selected candidate
+    and tile patches are [T, W] uint32 gathers; inversion, MED, weights and
+    the packed residuals are all field arithmetic (cf. the strict kernel's
+    med_fields, ops/pallas_strict.py).  Bit-identical outputs to
+    _finish_selection (tests/test_pallas.py).  Requires 32 % W == 0 so W-bit
+    fields concatenate exactly into the MSB-first packed uint32 layout."""
+    assert 32 % W == 0
+    M = W * W
+    i0g, j0g, oyg, oxg = gather_coords
+    Tn = sel["rank"].shape[0]
+    ysel = oyg + sel["dy"]
+    xsel = oxg + sel["dx"]
+    ar = jnp.arange(W, dtype=jnp.int32)
+    P2f = plane[ysel[:, None] + ar[None, :], xsel[:, None]]    # [T, W]
+    Pf = plane[i0g[:, None] + ar[None, :], j0g[:, None]]
+    wmask = jnp.uint32((1 << W) - 1)
+    inv_ = sel["bestinv"]
+    Pm = jnp.where(inv_[:, None], Pf ^ wmask, Pf)
+    P3 = Pm ^ P2f
+
+    def med(q):  # MED residual on row fields (bit W-1-c = column c)
+        up = jnp.pad(q, ((0, 0), (1, 0)))[:, :-1]
+        return (q ^ up ^ (q >> 1) ^ (up >> 1)) & wmask
+
+    dP3 = med(P3)
+    dPf = med(Pf)
+
+    def wt(q):
+        return lax.population_count(q).astype(jnp.int32).sum(axis=1)
+
+    weights4 = jnp.stack([wt(P3), wt(dP3), wt(Pf), wt(dPf)], axis=1)
+    res4f = jnp.stack([P3, dP3, Pf, dPf], axis=1)              # [T, 4, W]
+    fpw = 32 // W                                  # fields per packed word
+    r = res4f.reshape(Tn, 4, W // fpw, fpw).astype(jnp.uint32)
+    shifts = (jnp.arange(fpw, dtype=jnp.uint32)[::-1] * W)
+    res_packed4 = (r << shifts).sum(axis=-1, dtype=jnp.uint32)
+    return dict(rank=sel["rank"], n_cands=sel["n_cands"], inv=inv_,
+                has_cands=sel["has_cands"], weights4=weights4,
+                idx_len=_idx_len(sel["n_cands"]), residual4=res_packed4)
+
+
 @partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols",
                                    "codec_id", "variant"))
 def encode_analyze_decided(img_packed, *, W: int, R: int, T_thresh: int,
@@ -229,10 +283,13 @@ def encode_analyze_decided(img_packed, *, W: int, R: int, T_thresh: int,
     arrays out (~3x less fetch, 8x less upload).
 
     img_packed: uint32 [ny*W, nwords(nx*W)] (bitpack layout of the padded
-    tile grid).  Returns ONE int32 [T, 6 + nwords(M)] record block —
-    columns (mode, weight, k_used, rank, inv, idx_len, residual words
-    bitcast to int32) — so the whole batch leaves the device as a single
-    buffer (the remote link charges ~a round trip PER fetched buffer)."""
+    tile grid).  Returns ONE int32 [T, 2 + nwords(M)] record block —
+    column 0 packs (mode 2b | inv 1b | k_used 5b | idx_len 6b |
+    weight 17b), column 1 is the rank, the rest are the chosen residual
+    words bitcast to int32 — so the whole batch leaves the device as a
+    single small buffer (the remote link charges ~a round trip per fetched
+    buffer AND ~11 MB/s effective bandwidth; fetch bytes are the batch
+    pipeline's bottleneck)."""
     from ..ops import pallas_decide
     M = W * W
     ny, nx = -(-rows // W), -(-cols // W)
@@ -247,20 +304,22 @@ def encode_analyze_decided(img_packed, *, W: int, R: int, T_thresh: int,
         out["residual4"], mode[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     is_match = mode < 2
-    cols6 = jnp.stack([
-        mode, weight, k_used, out["rank"],
-        jnp.where(is_match, out["inv"], False).astype(jnp.int32),
-        jnp.where(is_match, out["idx_len"], 0)], axis=1)
+    inv = jnp.where(is_match, out["inv"], False).astype(jnp.int32)
+    il = jnp.where(is_match, out["idx_len"], 0)
+    w0 = (mode | (inv << 2) | (k_used << 3) | (il << 8) | (weight << 14))
+    cols2 = jnp.stack([w0, out["rank"]], axis=1)
     return jnp.concatenate(
-        [cols6, lax.bitcast_convert_type(res, jnp.int32)], axis=1)
+        [cols2, lax.bitcast_convert_type(res, jnp.int32)], axis=1)
 
 
 def _split_decided(block: np.ndarray) -> dict:
-    """Host view of the fused [T, 6 + nw] record block (no copies)."""
-    return dict(mode=block[:, 0], weight=block[:, 1], k_used=block[:, 2],
-                rank=block[:, 3], inv=block[:, 4].astype(bool),
-                idx_len=block[:, 5],
-                residual=np.ascontiguousarray(block[:, 6:]).view(np.uint32))
+    """Host view of the fused [T, 2 + nw] record block (no copies except
+    the tiny unpacked header columns)."""
+    w0 = block[:, 0]
+    return dict(mode=w0 & 3, inv=((w0 >> 2) & 1).astype(bool),
+                k_used=(w0 >> 3) & 31, idx_len=(w0 >> 8) & 63,
+                weight=w0 >> 14, rank=block[:, 1],
+                residual=np.ascontiguousarray(block[:, 2:]).view(np.uint32))
 
 
 def _pack_decided(out, hdr, M):

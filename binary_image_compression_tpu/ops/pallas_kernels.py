@@ -472,7 +472,7 @@ def _field_plane(img, W: int, He: int, We: int):
 
 def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                         R: int, T_thresh: int, rows: int, cols: int,
-                        invert: bool, y_base=None,
+                        invert: bool, y_base=None, with_plane: bool = False,
                         interpret: bool | None = None):
     """The codec windowed search as ONE Pallas kernel per tile row.
 
@@ -481,12 +481,17 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     62ms/page on a v5e at 512^2/W16/R128): candidates are W-bit row fields
     XOR+popcounted against the tile rows directly from a row-band in VMEM,
     and the serial-scan selection (ops/search.select_best semantics) runs
-    in-register.  The only HBM traffic is the field plane E (4 B/pixel) and
-    8 scalars per tile.  Reference hot loop: compress8_test.cpp:152-198.
+    in-register — as the single packed-priority reduction of
+    _selection_packed_group over G-tile groups when the bit layout fits
+    (packed_sel_layout), else the masked-grid _selection_scalars.  The only
+    HBM traffic is the field plane E (4 B/pixel) and 8 scalars per tile.
+    Reference hot loop: compress8_test.cpp:152-198.
 
     img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Requires W <= 32 (field in
     a uint32 lane; models/compress falls back to the banded MXU variant
-    otherwise).  Returns (sel dict as select_windows, oy [T], ox [T]).
+    otherwise).  Returns (sel dict as select_windows, oy [T], ox [T]); with
+    with_plane=True also returns the field plane E for the caller's
+    field-domain finish (models/compress._finish_selection_fields).
 
     y_base: optional traced scalar — the ABSOLUTE image row of img_bits row
     0 (may be negative).  Under parallel/tileshard the frame is a shard's
@@ -539,9 +544,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     # the kernel evaluates each tile against the FULL band width and lets
     # the key masks discard out-of-window positions.  The band's W
     # row-shifted views are sliced to the wh = R+1 candidate rows (every
-    # valid candidate has dy <= i0 - oy <= R).  A 4-tile-blocked variant
-    # that shares each band view across tiles measured slightly SLOWER
-    # (accumulator spills beat the read savings) — keep the simple loop.
+    # valid candidate has dy <= i0 - oy <= R).
     wh = R + 1
     lay = packed_sel_layout(W, R, cols)
     # tile-group size: G tiles of a row share one Mosaic op stream
@@ -637,6 +640,11 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                n_cands=out[:, 5], has_cands=out[:, 6].astype(jnp.bool_))
     oy_full = jnp.broadcast_to(oyr, (ny, nx)).reshape(T)
     ox_full = jnp.zeros((T,), jnp.int32)
+    if with_plane:
+        # the single-field plane E (already computed for the kernel) lets
+        # the caller finish in the FIELD domain: candidate/tile patches are
+        # [T, W] uint32 gathers instead of [T, W, W] dense-pixel gathers
+        return sel, oy_full, ox_full, E
     return sel, oy_full, ox_full
 
 

@@ -65,6 +65,13 @@ def _analyze_shard(block, *, n: int, W: int, R: int, T_thresh: int,
     # masked off by the key grids.
     if W <= 32:
         from ..ops import pallas_kernels
+        if 32 % W == 0:
+            sel, oy_rel, ox, plane = pallas_kernels.fused_search_select(
+                ext, i0_rel, j0, ny_loc, nx, W=W, R=R, T_thresh=T_thresh,
+                rows=rows, cols=cols, invert=invert, y_base=base - R,
+                with_plane=True)
+            return compress._finish_selection_fields(
+                plane, sel, (i0_rel, j0, oy_rel, ox), W=W, invert=invert)
         sel, oy_rel, ox = pallas_kernels.fused_search_select(
             ext, i0_rel, j0, ny_loc, nx, W=W, R=R, T_thresh=T_thresh,
             rows=rows, cols=cols, invert=invert, y_base=base - R)
