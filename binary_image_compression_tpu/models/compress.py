@@ -637,16 +637,27 @@ def _planes_payload_device(planes_bits, *, rows: int, cols: int):
     MED residual -> zero-run extraction -> adaptive-EG codes (the 32-state
     LUT adaptation as an associative scan over transition-table composition)
     -> parallel-prefix bit packing (ops/bitstream.pack_varlen).  The
-    BASELINE-named parallel bitstream assembly, producing product bytes."""
+    BASELINE-named parallel bitstream assembly, producing product bytes.
+
+    Returns (words, total_bits, n_runs).  The run array is CAPPED at a
+    12.5%-ones density bound (n/8 + 2): the associative scan and the
+    [N, 32] transition sweep scale with the static run capacity, and the
+    uncapped worst case (a run per pixel) made the whole pipeline ~8x
+    slower than it needs to be for any MED residual that is actually
+    compressible.  Callers must route planes with n_runs > cap to the
+    native coder (encode_planes_device does)."""
     from ..ops import egdevice
     n = rows * cols
+    cap = n // 8 + 2
     packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
     res = predict.med_forward(packed, cols)                 # [P, rows, nw]
     res_bits = bitpack.unpack(res, cols).reshape(-1, n)     # [P, n]
 
     def one(flat):
         runs, n_runs = egdevice.runs_from_residual_flat(flat, n_pixels=n)
-        return egdevice.eg_encode_runs_device(runs, n_runs, n_pixels=n)
+        w, tb = egdevice.eg_encode_runs_device(runs[:cap], n_runs,
+                                               n_pixels=n)
+        return w, tb, n_runs
 
     return jax.vmap(one)(res_bits)
 
@@ -665,13 +676,16 @@ def encode_planes_device(planes: np.ndarray,
     planes = np.asarray(planes, dtype=bool)
     P, rows, cols = planes.shape
     if assembly == "device":
-        words, total_bits = jax.device_get(_planes_payload_device(
+        words, total_bits, n_runs = jax.device_get(_planes_payload_device(
             jnp.asarray(planes, jnp.uint8), rows=rows, cols=cols))
+        cap = rows * cols // 8 + 2
         out = []
         for i in range(P):
             tb = int(total_bits[i])
-            if tb > words.shape[1] * 32:  # can't happen per the 4-bit/pixel
-                return encode_planes_device(planes, "native")  # bound; guard
+            if tb > words.shape[1] * 32 or int(n_runs[i]) > cap:
+                # payload bound exceeded, or residual denser than the run
+                # capacity (incompressible input) — native coder instead
+                return encode_planes_device(planes, "native")
             params = codec_mod.CodecParams(codec=10, W=0, T=0, R=0)
             hdr = codec_mod._header(params, rows, cols,
                                     codec_mod.image_crc(planes[i]))

@@ -188,6 +188,18 @@ def test_planes_device_assembly_matches_native_assembly():
         np.testing.assert_array_equal(codec.decode(blob), planes[i])
 
 
+def test_planes_device_assembly_dense_fallback(rng):
+    """A residual denser than the device path's run capacity (12.5% ones
+    bound) must route to the native coder and stay byte-identical — the
+    capped run array would otherwise truncate the payload silently."""
+    planes = (rng.rand(2, 32, 32) < 0.5).astype(bool)  # MED residual ~dense
+    a = compress.encode_planes_device(planes, assembly="device")
+    b = compress.encode_planes_device(planes, assembly="native")
+    assert a == b
+    for i, blob in enumerate(a):
+        np.testing.assert_array_equal(codec.decode(blob), planes[i])
+
+
 def test_decide_modes_kernel_matches_host_replay(rng):
     """The device mode-decision kernel (ops/pallas_decide) must replay the
     two adaptive Golomb contexts bit-identically to the host
