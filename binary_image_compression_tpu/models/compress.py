@@ -102,8 +102,8 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
-    if variant == "fused" and W <= 32:
-        from ..ops import pallas_kernels
+    from ..ops import pallas_kernels
+    if variant == "fused" and pallas_kernels.fused_supported(ny, nx, W):
         if 32 % W == 0:
             # field-domain finish: patches gathered as [T, W] uint32 row
             # fields from the kernel's own plane (8x fewer elements than

@@ -470,6 +470,21 @@ def _field_plane(img, W: int, He: int, We: int):
     return E
 
 
+def fused_supported(ny: int, nx: int, W: int) -> bool:
+    """Whether the fused kernel's scalar-prefetch footprint fits SMEM.
+
+    The per-tile field words (trow) ride PrefetchScalarGridSpec; Mosaic's
+    SMEM is 1 MB and accounts prefetched operands at ~64 B/element
+    (observed: a [32, 128, 8] int32 operand — 32768 elements, 131 kB raw —
+    was rejected as a 2 MB SMEM allocation).  Very wide tile grids
+    (ny*nx ~ 4096+ at W=16, e.g. a 512x2048 page) must route to the
+    banded-MXU variant; models/compress.encode_analyze and
+    parallel/tileshard do."""
+    k = next((kk for kk in (4, 3, 2) if W * kk <= 32 and W % kk == 0), 1)
+    nit = W // k
+    return W <= 32 and ny * nx * nit * 64 <= 768 * 1024
+
+
 def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                         R: int, T_thresh: int, rows: int, cols: int,
                         invert: bool, y_base=None, with_plane: bool = False,

@@ -63,8 +63,8 @@ def _analyze_shard(block, *, n: int, W: int, R: int, T_thresh: int,
     # and patch gathers stay ext-frame-relative.  Ext rows above the image
     # (the zero halo of the top shards) land at negative absolute y and are
     # masked off by the key grids.
-    if W <= 32:
-        from ..ops import pallas_kernels
+    from ..ops import pallas_kernels
+    if pallas_kernels.fused_supported(ny_loc, nx, W):
         if 32 % W == 0:
             sel, oy_rel, ox, plane = pallas_kernels.fused_search_select(
                 ext, i0_rel, j0, ny_loc, nx, W=W, R=R, T_thresh=T_thresh,

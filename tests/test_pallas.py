@@ -63,6 +63,8 @@ def test_select_kernel_matches_xla(rng):
     (96, 128, 32, 40, 2, True, 0.2),
     (80, 80, 16, 128, 1, True, 0.05),     # R larger than the image
     (33, 70, 16, 24, 300, False, 0.4),    # huge T: every candidate stops
+    (64, 200, 8, 16, 1, True, 0.3),       # x-chunked bands (nc > 1)
+    (48, 250, 8, 16, 2, True, 0.2),       # x-chunked + ragged tile pad
 ])
 def test_packed_selection_matches_grid(rng, case):
     """The single-reduction packed-priority selection (closed-form ranks,
@@ -92,13 +94,17 @@ def test_packed_selection_matches_grid(rng, case):
                                       err_msg=k)
 
 
-def test_fused_search_matches_banded(rng):
+@pytest.mark.parametrize("dims", [
+    (75, 101, 8, 24),     # ragged dims, single chunk
+    (64, 230, 8, 16),     # x-chunked bands with a padded final chunk
+])
+def test_fused_search_matches_banded(rng, dims):
     """One-kernel search (field XOR+popcount + in-register selection) ==
     banded-MXU maps + selection, on ragged dims."""
     import jax
     import jax.numpy as jnp
     from binary_image_compression_tpu.models import compress
-    rows, cols, W, R = 75, 101, 8, 24
+    rows, cols, W, R = dims
     img = (rng.rand(rows, cols) < 0.35)
     ny, nx = -(-rows // W), -(-cols // W)
     grid = np.zeros((ny * W, nx * W), np.int8)
