@@ -13,10 +13,12 @@ Secondary fields:
     is labeled accordingly.
   * codec10_host_mps — MED+RLE grayscale workhorse (device MED available
     via encode_pgm(backend="tpu"); run here on host for a stable number).
-  * scaling — weak-scaling of the page-sharded analysis on a virtual
-    8-device CPU mesh (correctness-grade: 8 virtual devices share 2 real
-    cores, so this validates the sharded program's overhead, not real ICI
-    speedup) plus the single-chip batch-vs-single efficiency.
+  * scaling — algorithmic weak-scaling efficiency from the compiled
+    sharded HLO (per-device flops/bytes via cost_analysis + collective ICI
+    bytes parsed from the optimized module; parallel/scaling.py) for the
+    page-sharded encode, the tile-sharded halo search and the BSVD train
+    step, plus the single-chip batch-vs-single efficiency.  Hardware
+    multi-chip scaling cannot run here (one physical chip).
 
 vs_baseline compares against the reference's compress8_test binary on the
 same image — generous to the reference, which only runs the encoder-side
@@ -67,31 +69,25 @@ def _alarm(signum, frame):
     raise _CompileTimeout()
 
 
-def _scaling_cpu_mesh():
-    """Weak-scaling of sharded_encode_analyze on the virtual CPU mesh, in a
-    subprocess so the TPU backend of the parent is untouched."""
+def _scaling_hlo_model():
+    """Algorithmic weak-scaling from the compiled sharded HLO on a virtual
+    8-device mesh (parallel/scaling.py), in a subprocess so the parent's
+    TPU backend is untouched.
+
+    Replaces the round-3 wall-clock virtual-mesh numbers, which measured
+    2-core host contention (8x the work on 2 cores), not the algorithm.
+    Here XLA compiles the very SPMD module each chip would run; per-device
+    flops/bytes come from compiled.cost_analysis() and per-device ICI bytes
+    from the collective instructions in the optimized HLO (ring model);
+    efficiency is t_model(1)/t_model(n) under a v5e roofline+comm model at
+    the bench shapes (512^2 page/W16/R128 page-shard, 8-tile-row shards
+    with R=128 halo, 1024-samples/device BSVD step)."""
     code = r"""
-import json, os, time
-import numpy as np
+import json
 import jax
 jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
-from binary_image_compression_tpu.parallel import mesh as pmesh
-from binary_image_compression_tpu.models import compress
-rng = np.random.RandomState(0)
-W, R, rows, cols = 8, 16, 64, 64
-out = {}
-for n in (1, 2, 4, 8):
-    m = pmesh.make_mesh(n, data=n, model=1)
-    run = pmesh.sharded_encode_analyze(m, W=W, R=R, T_thresh=1,
-                                       rows=rows, cols=cols)
-    pages = jnp.asarray((rng.rand(n, rows, cols) < 0.3).astype(np.int8))
-    jax.block_until_ready(run(pages))
-    t0 = time.time()
-    for _ in range(10):
-        jax.block_until_ready(run(pages))
-    out[str(n)] = (time.time() - t0) / 10
-print(json.dumps(out))
+from binary_image_compression_tpu.parallel import scaling
+print(json.dumps(scaling.suite(ns=(1, 2, 4, 8))))
 """
     try:
         env = dict(os.environ)
@@ -100,13 +96,21 @@ print(json.dumps(out))
         env["JAX_PLATFORMS"] = "cpu"
         r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                            capture_output=True, timeout=600, text=True)
-        times = json.loads(r.stdout.strip().splitlines()[-1])
-        t1 = times["1"]
-        # weak scaling: n devices process n pages; efficiency = t1 / tn
-        return {f"virtual_mesh_weak_eff_{n}dev":
-                round(t1 / times[str(n)], 3) for n in (2, 4, 8)}
-    except Exception:
-        return {"virtual_mesh_weak_eff": "skipped"}
+        rep = json.loads(r.stdout.strip().splitlines()[-1])
+        out = {f"algorithmic_eff_{n}dev": rep["algorithmic_eff"][str(n)]
+               for n in (2, 4, 8)}
+        for case in ("pageshard", "tileshard", "bsvd"):
+            out[f"{case}_eff_8dev"] = rep[case]["8"]["eff"]
+            out[f"{case}_ici_bytes_per_dev_8dev"] = \
+                rep[case]["8"]["ici_bytes_per_dev"]
+        out["scaling_note"] = (
+            "counted per-device work + collective ICI bytes from the "
+            "compiled sharded HLO (parallel/scaling.py); hardware "
+            "multi-chip runs are impossible here (1 physical chip), and "
+            "virtual-mesh wall clock only measures host-core contention")
+        return out
+    except Exception as e:  # pragma: no cover
+        return {"algorithmic_eff": f"skipped: {e}"[:100]}
 
 
 def main():
@@ -265,8 +269,14 @@ def main():
     B = 16
     pages = np.stack([np.roll(img, 7 * i + 1, axis=1) for i in range(B)])
     blobs = compress.encode_batch(pages, params)      # warm
-    t_benc = min(_timed(lambda: compress.encode_batch(pages, params))
-                 for _ in range(3))
+    # record min AND mean: the min is the pipeline capability (tunnel
+    # jitter is +-40%), the mean keeps the protocol comparable with the
+    # single-run numbers of rounds 1-2 (ADVICE r3)
+    t_encs = [_timed(lambda: compress.encode_batch(pages, params))
+              for _ in range(3)]
+    t_benc = min(t_encs)
+    result["codec8_batch16_encode_s_mean"] = round(
+        sum(t_encs) / len(t_encs), 3)
     from concurrent.futures import ThreadPoolExecutor
 
     def _dec():
@@ -334,7 +344,7 @@ def main():
     # scaling section
     scaling = {"batch16_speedup_vs_single":
                round((t_enc1 + t_dec1) / ((t_benc + t_bdec) / B), 3)}
-    scaling.update(_scaling_cpu_mesh())
+    scaling.update(_scaling_hlo_model())
     # 64-page corpus through the archive path
     try:
         corpus = [np.roll(img, (i * 13) % 512, axis=0) for i in range(64)]

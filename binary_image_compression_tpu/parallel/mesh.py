@@ -78,17 +78,34 @@ def sharded_encode_analyze(mesh: Mesh, W: int, R: int, T_thresh: int,
 
     Pages go on ``data`` (embarrassingly parallel); within a page the
     windowed search is already batched over tiles.  Returns a jitted fn
-    [B, ny*W, nx*W] -> per-page analysis dicts (stacked)."""
+    [B, ny*W, nx*W] -> per-page analysis dicts (stacked); B must divide
+    evenly by the ``data`` axis size.
+
+    shard_map (not with_sharding_constraint + vmap): GSPMD cannot propagate
+    a partition through the fused-search pallas_call's operands, so the
+    constraint formulation all-gathered the per-page band planes across the
+    batch before slicing each device's page back out — pure ICI waste on a
+    workload with zero cross-page dependence.  Under shard_map each device
+    traces its own per-page program and the compiled HLO carries NO
+    collectives at all (asserted by tests/test_scaling.py via
+    parallel/scaling.py's HLO accounting)."""
+    from jax import shard_map
+
     from ..models import compress
 
-    s_pages = NamedSharding(mesh, P("data", None, None))
-
-    @jax.jit
-    def run(batch):
-        batch = jax.lax.with_sharding_constraint(batch, s_pages)
+    def body(batch):  # [B/n, rows, cols] local pages
         return jax.vmap(
             lambda im: compress.encode_analyze(
                 im, W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols)
         )(batch)
 
-    return run
+    out_specs = dict(rank=P("data", None), n_cands=P("data", None),
+                     inv=P("data", None), has_cands=P("data", None),
+                     weights4=P("data", None, None),
+                     idx_len=P("data", None),
+                     residual4=P("data", None, None, None))
+    # check_vma=False: the pallas kernels inside the body cannot declare
+    # their varying-across-mesh axes (same limitation as parallel/tileshard)
+    return jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=P("data", None, None),
+                             out_specs=out_specs, check_vma=False))

@@ -1,0 +1,226 @@
+"""Algorithmic scaling evidence from compiled sharded HLO (no hardware run).
+
+This environment has ONE physical TPU chip, so multi-chip scaling cannot be
+*measured*; and a virtual 8-device CPU mesh on a 2-core host cannot show
+weak scaling in wall clock (8x the work on 2 cores — the round-3 numbers
+that measured host-core contention, not the algorithm).  What the virtual
+mesh CAN give exactly is the partitioned program itself: XLA compiles the
+same SPMD module it would run per chip, so
+
+  * ``compiled.cost_analysis()`` counts the PER-DEVICE flops / bytes of the
+    partitioned module (verified: doubling the mesh with the per-device
+    problem fixed keeps the counts constant), and
+  * the optimized HLO text names every collective with its shape and
+    replica groups, from which per-device ICI traffic follows from the
+    standard ring-algorithm byte counts.
+
+From counted work + counted communication, a roofline + comm model yields
+the weak-scaling efficiency each sharded program achieves on real v5e
+hardware parameters:
+
+  t(n) = max(flops_pd / F_vpu, bytes_pd / B_hbm) + ici_pd(n) / B_ici
+  eff(n) = t(1) / t(n)
+
+The reference has no distributed anything to compare against (SURVEY.md
+§2.10); the referent for the data-parallel axis is the OpenMP sample loop
+(/root/reference/src/bsvd.cpp:1057) these programs generalize.
+
+Caveats, stated rather than hidden:
+  * flops inside lax.while bodies are counted once per body (XLA's static
+    HLO cost model); identical treatment at every n, so ratios hold.
+  * the model assumes no compute/communication overlap (conservative) and
+    ring collectives on a 1-D ICI axis.
+  * CPU-backend op mix differs from TPU Mosaic kernels in constants, not
+    in how the work and the collectives scale with n.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# v5e hardware parameters (same constants as utils/roofline.py)
+# ---------------------------------------------------------------------------
+V5E = dict(
+    # VPU: 8x128 lanes x 4 ALUs @ ~0.94 GHz — integer lane-ops/s.  The
+    # codec work is int32/uint32 VPU arithmetic; XLA's "flops" counter
+    # counts those elementwise ops.
+    flops_per_s=3.85e12,
+    hbm_bytes_per_s=8.19e11,     # v5e HBM ~819 GB/s
+    # ICI: one-way per-link bandwidth ~45 GB/s (scaling-book figure); a
+    # ring on one mesh axis streams through one link per direction.
+    ici_bytes_per_s=4.5e10,
+)
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+_SHAPE_RE = re.compile(
+    r"\b(pred|s8|u8|s16|u16|bf16|f16|s32|u32|f32|s64|u64|f64)\[([0-9,]*)\]")
+_COLL_RE = re.compile(
+    r"=\s*(.*?)\s(all-reduce|all-gather|reduce-scatter|collective-permute"
+    r"|all-to-all)(-start)?\(")
+_GROUPS_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
+_GROUPS_BRACE_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
+
+
+def _shape_bytes(text: str) -> int:
+    """Total bytes of every dtype[dims] shape token in `text`."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_traffic(hlo_text: str, n_devices: int) -> dict:
+    """Per-device ICI bytes by collective kind, ring-algorithm model.
+
+    For result bytes S and replica-group size g:
+      all-gather       S (gathered shape) -> each device moves S*(g-1)/g
+      all-reduce       S                  -> 2*S*(g-1)/g (reduce-scatter+ag)
+      reduce-scatter   S (scattered out)  -> input S*g, moves S*(g-1)
+      collective-permute S                -> S (one send per device)
+      all-to-all       S                  -> S*(g-1)/g
+    """
+    out = {"all-reduce": 0.0, "all-gather": 0.0, "reduce-scatter": 0.0,
+           "collective-permute": 0.0, "all-to-all": 0.0, "count": 0}
+    for line in hlo_text.splitlines():
+        m = _COLL_RE.search(line)
+        if not m or f"{m.group(2)}-done(" in line:
+            continue
+        S = _shape_bytes(m.group(1))
+        gm = _GROUPS_RE.search(line)
+        if gm:
+            g = int(gm.group(2))
+        else:
+            gb = _GROUPS_BRACE_RE.search(line)
+            g = len(gb.group(1).split(",")) if gb else n_devices
+        g = max(g, 1)
+        kind = m.group(2)
+        if kind == "all-gather":
+            moved = S * (g - 1) / g
+        elif kind == "all-reduce":
+            moved = 2.0 * S * (g - 1) / g
+        elif kind == "reduce-scatter":
+            moved = S * (g - 1)
+        elif kind == "collective-permute":
+            moved = float(S)
+        else:  # all-to-all
+            moved = S * (g - 1) / g
+        out[kind] += moved
+        out["count"] += 1
+    out["total"] = sum(out[k] for k in
+                       ("all-reduce", "all-gather", "reduce-scatter",
+                        "collective-permute", "all-to-all"))
+    return out
+
+
+@dataclass
+class DevCost:
+    """Per-device counted cost of one compiled sharded program."""
+    n_devices: int
+    flops: float
+    bytes_accessed: float
+    ici_bytes: float
+    collectives: dict
+
+    def model_seconds(self, hw=V5E) -> float:
+        compute = max(self.flops / hw["flops_per_s"],
+                      self.bytes_accessed / hw["hbm_bytes_per_s"])
+        return compute + self.ici_bytes / hw["ici_bytes_per_s"]
+
+
+def compiled_cost(jitted, args, n_devices: int) -> DevCost:
+    """Lower + compile a jitted fn and count its per-device work + comm."""
+    comp = jitted.lower(*args).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    coll = collective_traffic(comp.as_text(), n_devices)
+    return DevCost(n_devices=n_devices, flops=float(ca.get("flops", 0.0)),
+                   bytes_accessed=float(ca.get("bytes accessed", 0.0)),
+                   ici_bytes=float(coll["total"]), collectives=coll)
+
+
+# ---------------------------------------------------------------------------
+# the three sharded programs of the framework, weak-scaling cases
+# (per-device problem size FIXED as n grows)
+# ---------------------------------------------------------------------------
+
+def case_pageshard(n: int, *, rows: int = 512, cols: int = 512, W: int = 16,
+                   R: int = 128):
+    """One page per device through the full encoder analysis."""
+    from . import mesh as pmesh
+    m = pmesh.make_mesh(n, data=n, model=1)
+    run = pmesh.sharded_encode_analyze(m, W=W, R=R, T_thresh=2,
+                                       rows=rows, cols=cols)
+    pages = jax.ShapeDtypeStruct((n, rows, cols), jnp.int8)
+    return run, (pages,)
+
+
+def case_tileshard(n: int, *, tile_rows_per_dev: int = 8, nx: int = 32,
+                   W: int = 16, R: int = 128):
+    """One image, its tile rows sharded with multi-hop ppermute halo."""
+    from . import mesh as pmesh
+    from . import tileshard
+    m = pmesh.make_mesh(n, data=n, model=1)
+    block_rows = tile_rows_per_dev * W
+    gh, gw = n * block_rows, nx * W
+    fn = tileshard._sharded_fn(m, n, W, R, 2, gh, gw, gw, block_rows, True)
+    return fn, (jax.ShapeDtypeStruct((gh, gw), jnp.int8),)
+
+
+def case_bsvd(n: int, *, samples_per_dev: int = 1024, W: int = 16,
+              K: int = 64):
+    """BSVD train step, samples on data (the OMP loop of bsvd.cpp:1057)."""
+    from . import mesh as pmesh
+    m = pmesh.make_mesh(n, data=n, model=1)
+    step = pmesh.sharded_train_step(m)
+    M = W * W
+    N = n * samples_per_dev
+    E = jax.ShapeDtypeStruct((N, M), jnp.int8)
+    D = jax.ShapeDtypeStruct((K, M), jnp.int8)
+    A = jax.ShapeDtypeStruct((N, K), jnp.int8)
+    return step, (E, D, A)
+
+
+CASES = {"pageshard": case_pageshard, "tileshard": case_tileshard,
+         "bsvd": case_bsvd}
+
+
+def weak_scaling_report(case_fn, ns=(1, 2, 4, 8), hw=V5E, **kw) -> dict:
+    """Efficiency eff(n) = t_model(1) / t_model(n) with per-device work and
+    counted collective bytes; weak scaling (per-device problem fixed)."""
+    costs = {n: compiled_cost(*case_fn(n, **kw), n_devices=n) for n in ns}
+    t1 = costs[ns[0]].model_seconds(hw)
+    rep = {}
+    for n in ns:
+        c = costs[n]
+        rep[n] = dict(
+            eff=round(t1 / c.model_seconds(hw), 4),
+            flops_per_dev=c.flops,
+            bytes_per_dev=c.bytes_accessed,
+            ici_bytes_per_dev=round(c.ici_bytes, 1),
+            n_collectives=c.collectives["count"],
+        )
+    return rep
+
+
+def suite(ns=(1, 2, 4, 8), shapes: dict | None = None) -> dict:
+    """All three sharded programs + the aggregate per-n minimum."""
+    shapes = shapes or {}
+    out = {name: weak_scaling_report(fn, ns, **shapes.get(name, {}))
+           for name, fn in CASES.items()}
+    out["algorithmic_eff"] = {
+        n: round(min(out[name][n]["eff"] for name in CASES), 4)
+        for n in ns}
+    return out
