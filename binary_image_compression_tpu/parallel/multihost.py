@@ -80,15 +80,22 @@ def merge_host_offsets(page_bytes: np.ndarray) -> np.ndarray:
     return np.cumsum(page_bytes) - page_bytes
 
 
-def encode_corpus_sharded(pages: np.ndarray, encode_fn,
-                          mesh: Mesh | None = None) -> list[bytes]:
+def encode_corpus_sharded(pages, encode_fn=None, mesh: Mesh | None = None,
+                          *, params=None, batch_size: int = 8,
+                          use_tpu: bool = True) -> list[bytes]:
     """Encode a batch of pages with page-level sharding.
 
     pages: [B, rows, cols] bool.  Each process encodes its contiguous page
-    range; single-process, this is a thin loop (the device mesh inside
-    encode_fn still parallelizes each page's tiles).  Returns this host's
-    blobs in page order."""
+    range THROUGH THE SAME BATCHED ENGINE as the single-host archive path
+    (models/archive.encode_pages: vmapped device analysis over same-shaped
+    page runs) — pass `params`.  `encode_fn` (a per-page callable) remains
+    for codecs without a batched device path.  Returns this host's blobs
+    in page order."""
     nproc = jax.process_count()
     pid = jax.process_index()
-    lo, hi = page_shard_bounds(pages.shape[0], nproc, pid)
-    return [encode_fn(pages[i]) for i in range(lo, hi)]
+    lo, hi = page_shard_bounds(len(pages), nproc, pid)
+    if encode_fn is not None:
+        return [encode_fn(pages[i]) for i in range(lo, hi)]
+    from ..models import archive
+    return archive.encode_pages([pages[i] for i in range(lo, hi)], params,
+                                batch_size=batch_size, use_tpu=use_tpu)

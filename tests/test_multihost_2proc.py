@@ -39,10 +39,14 @@ assert mesh.shape["data"] == 2
 rng = np.random.RandomState(0)
 pages = (rng.rand(6, 32, 32) < 0.3)            # identical corpus everywhere
 lo, hi = multihost.page_shard_bounds(len(pages), jax.process_count(), pid)
-p10 = codec.CodecParams(codec=10, W=0, T=0, R=0)
-blobs = multihost.encode_corpus_sharded(
-    pages, lambda p: codec.encode(p, p10))
+# the host shard rides the SAME batched device engine as the single-host
+# archive path (archive.encode_pages); per-page byte parity vs the host
+# reference encoder proves the unification didn't change streams
+p8 = codec.CodecParams(codec=8, W=8, R=16, strict=False)
+blobs = multihost.encode_corpus_sharded(pages, params=p8, batch_size=2)
 assert len(blobs) == hi - lo
+for k in range(hi - lo):
+    assert blobs[k] == codec.encode(pages[lo + k], p8), ("page", lo + k)
 
 counts_local = np.zeros(len(pages), dtype=np.int64)
 counts_local[lo:hi] = [len(b) for b in blobs]
