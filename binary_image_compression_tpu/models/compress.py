@@ -98,12 +98,19 @@ def encode_analyze(img_bits, *, W: int, R: int, T_thresh: int,
         caught by tests/test_compress_tpu.py::test_tpu_matches_host_doc512).
     """
     M = W * W
+    if R < W:
+        # every device search variant shares the R+1-row band geometry,
+        # which misses grid-1 candidate rows above i0-R when R < W
+        # (ADVICE r3 item 1) — the encode()/encode_batch() entry points
+        # route such params to the host encoder
+        raise ValueError(f"device search requires R >= W (got R={R}, "
+                         f"W={W}); use models/codec.encode")
     i0, j0, ny, nx = search.tile_origins(rows, cols, W)
     Tn = int(i0.shape[0])
     img = jnp.asarray(img_bits, jnp.int8)
 
     from ..ops import pallas_kernels
-    if variant == "fused" and pallas_kernels.fused_supported(ny, nx, W):
+    if variant == "fused" and pallas_kernels.fused_supported(ny, nx, W, R):
         if 32 % W == 0:
             # field-domain finish: patches gathered as [T, W] uint32 row
             # fields from the kernel's own plane (8x fewer elements than
@@ -403,6 +410,9 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape
     W, R = params.W, params.R
+    if R < W:   # device band geometry requires R >= W (encode_analyze)
+        from .codec import encode as host_encode
+        return host_encode(img, params)
     ny, nx = -(-rows // W), -(-cols // W)
     M = W * W
     if params.codec == 8:
@@ -483,6 +493,9 @@ def encode_batch(pages: np.ndarray, params: CodecParams | None = None,
     assert params.codec == 8 and not params.strict
     _check_W(params)
     pages = np.asarray(pages, dtype=bool)
+    if params.R < params.W:   # device band geometry requires R >= W
+        from .codec import encode as host_encode
+        return [host_encode(p, params) for p in pages]
     B, rows, cols = pages.shape
     W, R = params.W, params.R
     ny, nx = -(-rows // W), -(-cols // W)
@@ -631,6 +644,15 @@ def med_planes(planes_bits, cols: int):
     return predict.med_forward(packed, cols)
 
 
+def _eg_run_cap(n_pixels: int) -> int:
+    """Static run-array capacity of the device-EG payload path: a
+    12.5%-ones density bound.  ONE definition for both the in-jit slice
+    (_planes_payload_device) and the host-side overflow check
+    (encode_planes_device) — a desync would silently truncate payloads
+    (ADVICE r3 item 2)."""
+    return n_pixels // 8 + 2
+
+
 @partial(jax.jit, static_argnames=("rows", "cols"))
 def _planes_payload_device(planes_bits, *, rows: int, cols: int):
     """Full codec-10 payload assembly for a plane stack, ON DEVICE:
@@ -648,7 +670,7 @@ def _planes_payload_device(planes_bits, *, rows: int, cols: int):
     native coder (encode_planes_device does)."""
     from ..ops import egdevice
     n = rows * cols
-    cap = n // 8 + 2
+    cap = _eg_run_cap(n)
     packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
     res = predict.med_forward(packed, cols)                 # [P, rows, nw]
     res_bits = bitpack.unpack(res, cols).reshape(-1, n)     # [P, n]
@@ -678,7 +700,7 @@ def encode_planes_device(planes: np.ndarray,
     if assembly == "device":
         words, total_bits, n_runs = jax.device_get(_planes_payload_device(
             jnp.asarray(planes, jnp.uint8), rows=rows, cols=cols))
-        cap = rows * cols // 8 + 2
+        cap = _eg_run_cap(rows * cols)
         out = []
         for i in range(P):
             tb = int(total_bits[i])

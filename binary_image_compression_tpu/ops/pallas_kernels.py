@@ -89,6 +89,16 @@ _INF = 2 ** 30
 _BIG = 2 ** 30
 
 
+def _key_span(W: int, R: int) -> int:
+    """Scan-key row stride: > any per-row x extent (2R+W+1).
+
+    Keys only ORDER candidates (y desc, x desc within each grid; grid 1
+    before grid 2), so the stride needs to exceed the window's x range, not
+    the image width — keeping keys small enough that the packed-priority
+    layout (packed_sel_layout) fits int32 for ANY image width."""
+    return 2 * R + W + 2
+
+
 def make_select_kernel(W: int, R: int, T_thresh: int, rows: int, cols: int,
                        invert: bool, h: int, w: int):
     """Kernel body for the windowed-search selection (one tile per grid step).
@@ -102,12 +112,6 @@ def make_select_kernel(W: int, R: int, T_thresh: int, rows: int, cols: int,
     count the duplicate y=i0-W row entries of both window grids
     (reference scan: compress8_test.cpp:152-198; compress4_test.cpp:96-135).
     """
-    M = W * W
-    maxy = rows - W
-    maxx = cols - W
-    span = cols + 1
-    off1 = (W + 2) * span
-
     def kernel(i0_ref, j0_ref, oy_ref, ox_ref, d_ref, out_ref):
         t = pl.program_id(0)
         out = _selection_scalars(
@@ -124,7 +128,7 @@ def _selection_rowparts(i0, oy, *, W, R, cols, h, w):
     kernel's tile loop: y-range masks and scan-order row terms as [h, 1]
     columns (broadcast against per-tile [1, w] column pieces), plus the
     constant flat position grid."""
-    span = cols + 1
+    span = _key_span(W, R)
     yyc = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) + oy
     mini2 = jnp.maximum(i0 - W, 0)
     mini = jnp.maximum(i0 - R, 0)
@@ -150,7 +154,7 @@ def _selection_scalars(d, i0, j0, oy, ox, *, W, R, T_thresh, rows, cols,
     strict-< argmin, duplicate y=i0-W row enumerated by both grids)."""
     M = W * W
     maxx = cols - W
-    off1 = (W + 2) * (cols + 1)
+    off1 = (W + 2) * _key_span(W, R)
     if rowparts is None:
         rowparts = _selection_rowparts(i0, oy, W=W, R=R, cols=cols, h=h, w=w)
     rowm1, rowm2, rt1, rt2, flat = rowparts
@@ -213,13 +217,21 @@ def packed_sel_layout(W: int, R: int, cols: int):
     because scan keys are unique per candidate (ord1 < off1 <= ord2 and each
     grid's order is injective), so the packed minimum IS the reference scan
     outcome and the winning candidate's coordinates decode from the key by
-    scalar arithmetic.  Fits comfortably for every codec shape (W <= 32,
-    R <= 128, cols <= ~1500); callers fall back to the grid selection when
-    it doesn't."""
+    scalar arithmetic.  Keys are window-relative (_key_span), so the layout
+    fits for every codec shape (W <= 32, any R up to ~2000, ANY image
+    width); callers fall back to the grid selection when it doesn't.
+
+    Requires R >= W: the R+1-row band geometry every device search variant
+    shares only covers grid-1 rows i0-W..i0 when R >= W, and the
+    closed-form rectangle ranks assume the same (ADVICE r3 item 1;
+    models/compress routes R < W to the host encoder)."""
+    if R < W:
+        return None
     M = W * W
-    span = cols + 1
+    span = _key_span(W, R)
     off1 = (W + 2) * span
-    keymax = off1 + (R + 1) * span      # > any ord2; every ord1 < off1
+    # grid-2 row terms span (R - W) rows; +1 row of x slack
+    keymax = off1 + (R - W + 1) * span
     kb = keymax.bit_length()
     db = M.bit_length()                 # d' <= M
     if db + kb + 3 > 30:                # FLAG | d' | key | inv < INF = 2^30
@@ -228,56 +240,60 @@ def packed_sel_layout(W: int, R: int, cols: int):
                 flag=1 << (db + kb + 2))
 
 
-def _selection_scalars_packed(d, i0, j0, oy, *, W, R, T_thresh, cols,
-                              invert, w, lay, rowparts=None):
-    """Packed-priority selection: bit-identical outputs to
-    _selection_scalars but with ONE grid reduction (jnp.min over the packed
-    priority) instead of ~10, and the rank / candidate counts as closed-form
-    scalar rectangle arithmetic instead of masked grid sums.
+def _packed_window_keys(i0, j0, xxr, rowparts, *, W, R, cols, lay):
+    """Scan keys + validity for broadcastable (i0, j0, xxr) pieces.
 
-    Assumes the band starts at frame column 0 (ox == 0 — true for the fused
-    full-width row bands) and covers every in-window candidate row
-    (oy <= i0 - R when unclamped; see fused_search_select)."""
-    M = W * W
-    span, off1 = lay["span"], lay["off1"]
-    kb, db = lay["kb"], lay["db"]
-    FLAG = jnp.int32(lay["flag"])
-    if rowparts is None:
-        yyc = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], 1), 0) + oy
-        rowm1 = (yyc >= jnp.maximum(i0 - W, 0)) & (yyc <= i0)
-        rowm2 = (yyc >= jnp.maximum(i0 - R, 0)) & (yyc <= i0 - W)
-        rt1 = (i0 - yyc) * span
-        rt2 = (i0 - W - yyc) * span
-    else:
-        rowm1, rowm2, rt1, rt2, _ = rowparts
+    rowparts: (rowm1, rowm2, rt1, rt2) column pieces shaped to broadcast
+    against xxr (the caller expands dims for group shapes).  Returns
+    (key = min(key1, key2), valid)."""
+    rowm1, rowm2, rt1, rt2 = rowparts
+    off1 = lay["off1"]
     maxx = cols - W
     minj = jnp.maximum(j0 - R, 0)
     maxj2 = jnp.maximum(j0 - W, 0)
     maxj = jnp.minimum(j0 + R, maxx)
-
-    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0 >= W)
     colm2 = (xxr >= minj) & (xxr <= maxj)
     in1 = rowm1 & colm1
     in2 = rowm2 & colm2
     key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
     key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
-    key = jnp.minimum(key1, key2)
-    valid = in1 | in2
+    return jnp.minimum(key1, key2), in1 | in2
 
+
+def _packed_priority(d, key, valid, *, M, T_thresh, invert, lay):
+    """The packed (stop, d', key, inv) priority grid to be min-reduced."""
+    kb, db = lay["kb"], lay["db"]
+    FLAG = jnp.int32(lay["flag"])
     if invert:
         dp = jnp.minimum(d, M - d)
         invb = ((M - d) < d).astype(jnp.int32)
     else:
         dp = d
         invb = jnp.zeros_like(d)
-
     keyv = jnp.where(valid, key, 0)     # keep shifts in-range off-window
     stop = dp <= T_thresh
     dinv = (dp << 1) | invb
     p = jnp.where(stop, (keyv << (db + 1)) | dinv,
                   FLAG | (dp << (kb + 1)) | (keyv << 1) | invb)
-    pr = jnp.min(jnp.where(valid, p, _INF))          # the ONE reduction
+    return jnp.where(valid, p, _INF)
+
+
+def _packed_decode(pr, i0, j0, oy, *, W, R, cols, lay):
+    """Decode a packed-priority minimum into the 8 selection outputs.
+
+    ONE implementation shared by the scalar (strict kernel) and the
+    group-vectorized (fused kernel) packed paths — the bit layout, the
+    key->coordinate decode and the closed-form rectangle rank/count
+    arithmetic must stay bit-identical between them (ADVICE r3 item 3).
+    pr/i0/j0/oy are mutually broadcastable int32 (scalars or [G, 1])."""
+    span, off1 = lay["span"], lay["off1"]
+    kb, db = lay["kb"], lay["db"]
+    FLAG = jnp.int32(lay["flag"])
+    maxx = cols - W
+    minj = jnp.maximum(j0 - R, 0)
+    maxj2 = jnp.maximum(j0 - W, 0)
+    maxj = jnp.minimum(j0 + R, maxx)
 
     found = (pr < _INF).astype(jnp.int32)
     is_stop = pr < FLAG
@@ -300,7 +316,8 @@ def _selection_scalars_packed(d, i0, j0, oy, *, W, R, T_thresh, cols,
     bestd = jnp.where(found == 1, bestd, 0)
 
     # closed-form candidate counts: both window grids are rectangles in
-    # (scan-row, scan-col) space, fully covered by the band (see caller)
+    # (scan-row, scan-col) space, fully covered by the band (R >= W is
+    # guaranteed by packed_sel_layout)
     r1 = jnp.minimum(W, i0) + 1
     c1 = jnp.where(j0 >= W, maxj2 - minj + 1, 0)
     r2 = jnp.maximum(i0 - W - jnp.maximum(i0 - R, 0) + 1, 0)
@@ -322,94 +339,55 @@ def _selection_scalars_packed(d, i0, j0, oy, *, W, R, T_thresh, cols,
     return (bestd, dy, inv_s, found, rank, n_cands, has_cands, dx)
 
 
-def _selection_packed_group(d, i0, j0v, oy, *, W, R, T_thresh, cols,
-                            invert, lay, rowparts):
-    """Group-vectorized packed selection: d is [G, wh, We] for G tiles of
-    one tile row (shared i0/oy, per-tile j0v [G, 1, 1]).  Returns the 8
-    outputs as int32 [G] vectors.  Same bit-exact semantics as
-    _selection_scalars_packed, but one Mosaic op stream serves G tiles —
-    fewer, larger VPU ops than a per-tile loop."""
+def _selection_scalars_packed(d, i0, j0, oy, *, W, R, T_thresh, cols,
+                              invert, w, lay, rowparts=None, x0=0):
+    """Packed-priority selection: bit-identical outputs to
+    _selection_scalars but with ONE grid reduction (jnp.min over the packed
+    priority) instead of ~10, and the rank / candidate counts as closed-form
+    scalar rectangle arithmetic instead of masked grid sums.
+
+    d: [h, w] distances for band columns x0..x0+w-1 (x0 static); the band
+    must cover every in-window candidate row (oy <= i0 - R when unclamped)
+    and column (callers chunk with plan_groups)."""
     M = W * W
-    span, off1 = lay["span"], lay["off1"]
-    kb, db = lay["kb"], lay["db"]
-    FLAG = jnp.int32(lay["flag"])
-    rowm1, rowm2, rt1, rt2, _ = rowparts          # [wh, 1] pieces
-    rowm1, rowm2 = rowm1[None], rowm2[None]       # [1, wh, 1]
-    rt1, rt2 = rt1[None], rt2[None]
-    G, wh, w = d.shape
-    maxx = cols - W
-    minj = jnp.maximum(j0v - R, 0)                # [G, 1, 1]
-    maxj2 = jnp.maximum(j0v - W, 0)
-    maxj = jnp.minimum(j0v + R, maxx)
-
-    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-    colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0v >= W)   # [G, 1, w]
-    colm2 = (xxr >= minj) & (xxr <= maxj)
-    in1 = rowm1 & colm1                                   # [G, wh, w]
-    in2 = rowm2 & colm2
-    key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
-    key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
-    key = jnp.minimum(key1, key2)
-    valid = in1 | in2
-
-    if invert:
-        dp = jnp.minimum(d, M - d)
-        invb = ((M - d) < d).astype(jnp.int32)
+    if rowparts is None:
+        span = lay["span"]
+        yyc = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], 1), 0) + oy
+        rowm1 = (yyc >= jnp.maximum(i0 - W, 0)) & (yyc <= i0)
+        rowm2 = (yyc >= jnp.maximum(i0 - R, 0)) & (yyc <= i0 - W)
+        rt1 = (i0 - yyc) * span
+        rt2 = (i0 - W - yyc) * span
     else:
-        dp = d
-        invb = jnp.zeros_like(d)
+        rowm1, rowm2, rt1, rt2 = rowparts[:4]
+    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) + x0
+    key, valid = _packed_window_keys(i0, j0, xxr, (rowm1, rowm2, rt1, rt2),
+                                     W=W, R=R, cols=cols, lay=lay)
+    p = _packed_priority(d, key, valid, M=M, T_thresh=T_thresh,
+                         invert=invert, lay=lay)
+    pr = jnp.min(p)                                  # the ONE reduction
+    return _packed_decode(pr, i0, j0, oy, W=W, R=R, cols=cols, lay=lay)
 
-    keyv = jnp.where(valid, key, 0)
-    stop = dp <= T_thresh
-    dinv = (dp << 1) | invb
-    p = jnp.where(stop, (keyv << (db + 1)) | dinv,
-                  FLAG | (dp << (kb + 1)) | (keyv << 1) | invb)
-    pr = jnp.min(jnp.min(jnp.where(valid, p, _INF), axis=2),
-                 axis=1, keepdims=True)                    # [G, 1]
 
-    j0 = j0v.reshape(G, 1)
-    i0v = jnp.zeros((G, 1), jnp.int32) + i0
-    minj = jnp.maximum(j0 - R, 0)
-    maxj2 = jnp.maximum(j0 - W, 0)
-    maxj = jnp.minimum(j0 + R, maxx)
-
-    found = (pr < _INF).astype(jnp.int32)
-    is_stop = pr < FLAG
-    kmask = jnp.int32((1 << kb) - 1)
-    dmask = jnp.int32((1 << db) - 1)
-    key_sel = jnp.where(is_stop, pr >> (db + 1), (pr >> 1) & kmask)
-    bestd = jnp.where(is_stop, (pr >> 1) & dmask, (pr >> (kb + 1)) & dmask)
-    inv_s = pr & 1
-
-    g2 = key_sel >= off1
-    q = jnp.where(g2, key_sel - off1, key_sel)
-    ry = lax.div(q, jnp.int32(span))
-    xt = q - ry * span
-    y = jnp.where(g2, i0v - W - ry, i0v - ry)
-    x = jnp.where(g2, maxj - xt, maxj2 - xt)
-    dy = jnp.where(found == 1, y - oy, 0)
-    dx = jnp.where(found == 1, x, 0)
-    inv_s = jnp.where(found == 1, inv_s, 0)
-    bestd = jnp.where(found == 1, bestd, 0)
-
-    r1 = jnp.minimum(W, i0v) + 1
-    c1 = jnp.where(j0 >= W, maxj2 - minj + 1, 0)
-    r2 = jnp.maximum(i0v - W - jnp.maximum(i0v - R, 0) + 1, 0)
-    c2 = maxj - minj + 1
-    n_cands = r1 * c1 + r2 * c2
-
-    def count_lt(ks, c, r):
-        nf = jnp.clip(jnp.where(ks >= c, lax.div(ks - c, jnp.int32(span))
-                                + 1, 0), 0, r)
-        rem = jnp.clip(ks - nf * span, 0, c)
-        part = jnp.where(nf < r, rem, 0)
-        return jnp.where((c > 0) & (ks > 0), nf * c + part, 0)
-
-    rank = count_lt(key_sel, c1, r1) + \
-        count_lt(jnp.where(g2, key_sel - off1, jnp.int32(-1)), c2, r2)
-    rank = jnp.where(found == 1, rank, 0)
-    has_cands = (n_cands > 0).astype(jnp.int32)
-    return (bestd, dy, inv_s, found, rank, n_cands, has_cands, dx)
+def _selection_packed_group(d, i0, j0v, oy, *, W, R, T_thresh, cols,
+                            invert, lay, rowparts, x0=0):
+    """Group-vectorized packed selection: d is [G, wh, w] for G tiles of
+    one tile row (shared i0/oy, per-tile j0v [G, 1, 1]; band columns
+    x0..x0+w-1, x0 static).  Returns the 8 outputs as int32 [G, 1] columns.
+    Same bit-exact semantics as _selection_scalars_packed (shared priority
+    packing + decode), but one Mosaic op stream serves G tiles."""
+    M = W * W
+    rowm1, rowm2, rt1, rt2 = rowparts[:4]            # [wh, 1] pieces
+    G, wh, w = d.shape
+    xxr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2) + x0
+    key, valid = _packed_window_keys(
+        i0, j0v, xxr, (rowm1[None], rowm2[None], rt1[None], rt2[None]),
+        W=W, R=R, cols=cols, lay=lay)
+    p = _packed_priority(d, key, valid, M=M, T_thresh=T_thresh,
+                         invert=invert, lay=lay)
+    pr = jnp.min(jnp.min(p, axis=2), axis=1, keepdims=True)   # [G, 1]
+    j0c = j0v.reshape(G, 1)
+    i0c = jnp.zeros((G, 1), jnp.int32) + i0
+    return _packed_decode(pr, i0c, j0c, oy, W=W, R=R, cols=cols, lay=lay)
 
 
 def select_windows(d, i0, j0, oy, ox, *, W: int, R: int, T_thresh: int,
@@ -470,19 +448,61 @@ def _field_plane(img, W: int, He: int, We: int):
     return E
 
 
-def fused_supported(ny: int, nx: int, W: int) -> bool:
-    """Whether the fused kernel's scalar-prefetch footprint fits SMEM.
+def plan_groups(nx: int, W: int, R: int, We: int, wh: int,
+                g_env: int = 0):
+    """Static x-chunked tile groups for the fused kernel.
 
-    The per-tile field words (trow) ride PrefetchScalarGridSpec; Mosaic's
-    SMEM is 1 MB and accounts prefetched operands at ~64 B/element
-    (observed: a [32, 128, 8] int32 operand — 32768 elements, 131 kB raw —
-    was rejected as a 2 MB SMEM allocation).  Very wide tile grids
-    (ny*nx ~ 4096+ at W=16, e.g. a 512x2048 page) must route to the
-    banded-MXU variant; models/compress.encode_analyze and
-    parallel/tileshard do."""
+    Returns (G, [(g0, Gs, xs, span), ...]): tiles [g0, g0+Gs) of a tile row
+    evaluate band columns [xs, xs+span) — a STATIC slice (Mosaic allows
+    static lane offsets; 128-aligned keeps vreg layouts clean) covering the
+    union of the group's search windows [g0*W - R, (g0+Gs-1)*W + R + W).
+    This removes the full-band arithmetic waste (~1.6x at 512^2/R128, more
+    on wider pages) that the round-3 kernel paid because per-TILE dynamic
+    lane offsets are not expressible.
+
+    G is the largest of (16, 8, 4, 2, 1) whose ~6 live [G, wh, span] int32
+    temporaries fit a 12 MB VMEM budget.  g_env (BIC_FUSED_GROUP) overrides
+    — read at TRACE time: changing the env var after the jit cache is warm
+    has no effect (re-run the process for A/B sweeps)."""
+    def r128(v):
+        return -(-v // 128) * 128
+
+    def mk(G):
+        groups = []
+        for g0 in range(0, nx, G):
+            Gs = min(G, nx - g0)
+            lo = max(0, g0 * W - R)
+            hi = min(We, (g0 + Gs - 1) * W + R + W)
+            xs = (lo // 128) * 128
+            span = min(We - xs, r128(hi - xs))
+            groups.append((g0, Gs, xs, span))
+        return groups
+
+    if g_env:
+        return min(g_env, nx), mk(min(g_env, nx))
+    for G in (16, 8, 4, 2, 1):
+        G = min(G, nx)
+        groups = mk(G)
+        mx = max(sp for _, _, _, sp in groups)
+        if 6 * G * wh * mx * 4 <= 12 * 2 ** 20 or G == 1:
+            return G, groups
+    return 1, mk(1)
+
+
+def fused_supported(ny: int, nx: int, W: int, R: int) -> bool:
+    """Whether the fused kernel covers this shape.
+
+    Requirements: W <= 32 (a tile-row field per uint32 lane), R >= W (the
+    R+1-row band geometry misses grid-1 rows above i0-R otherwise — every
+    device search variant shares this; models/compress routes R < W to the
+    host encoder), and the per-row band block [R+nit, nx*W] u32 within a
+    4 MB VMEM budget.  The round-3 SMEM cap (~4000 tiles at W=16) is gone:
+    the per-tile field words are a VMEM operand now, not scalar prefetch."""
+    if W > 32 or R < W:
+        return False
     k = next((kk for kk in (4, 3, 2) if W * kk <= 32 and W % kk == 0), 1)
     nit = W // k
-    return W <= 32 and ny * nx * nit * 64 <= 768 * 1024
+    return (R + nit) * nx * W * 4 <= 4 * 2 ** 20
 
 
 def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
@@ -498,15 +518,17 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     and the serial-scan selection (ops/search.select_best semantics) runs
     in-register — as the single packed-priority reduction of
     _selection_packed_group over G-tile groups when the bit layout fits
-    (packed_sel_layout), else the masked-grid _selection_scalars.  The only
-    HBM traffic is the field plane E (4 B/pixel) and 8 scalars per tile.
+    (packed_sel_layout), else the masked-grid _selection_scalars.  Tile
+    groups are unrolled with STATIC x-chunked band slices (plan_groups), so
+    each tile only pays for the columns its window can reach.  The only HBM
+    traffic is the field plane E (4 B/pixel) and 8 scalars per tile.
     Reference hot loop: compress8_test.cpp:152-198.
 
-    img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Requires W <= 32 (field in
-    a uint32 lane; models/compress falls back to the banded MXU variant
-    otherwise).  Returns (sel dict as select_windows, oy [T], ox [T]); with
-    with_plane=True also returns the field plane E for the caller's
-    field-domain finish (models/compress._finish_selection_fields).
+    img_bits: 0/1 [ny*W, nx*W] padded tile grid.  Requires W <= 32 and
+    R >= W (fused_supported; models/compress falls back to the banded MXU
+    variant / host encoder otherwise).  Returns (sel dict as select_windows,
+    oy [T], ox [T]); with_plane=True also returns the field plane E for the
+    caller's field-domain finish (models/compress._finish_selection_fields).
 
     y_base: optional traced scalar — the ABSOLUTE image row of img_bits row
     0 (may be negative).  Under parallel/tileshard the frame is a shard's
@@ -515,15 +537,15 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     match the single-device enumeration exactly.
     """
     assert W <= 32, "fused search packs one tile row per uint32 lane"
+    assert R >= W, "band geometry covers grid-1 rows only for R >= W"
     img = jnp.asarray(img_bits, jnp.uint32)
     gh, gw = img.shape
     T = ny * nx
     wh = R + 1
-    bh = R + W
     Hp = gh - W + 1
     pad_h = max(0, wh - Hp)
     He = gh + pad_h
-    We = gw  # full-width bands; key masks bound the per-tile x range
+    We = gw
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
@@ -545,7 +567,6 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     bh = R + nit
     yb = jnp.asarray([0 if y_base is None else y_base], jnp.int32)
     i0r = jnp.asarray(i0, jnp.int32).reshape(ny, nx)[:, :1]      # [ny, 1]
-    j0r = jnp.asarray(j0, jnp.int32).reshape(ny, nx)             # [ny, nx]
     oyr = jnp.clip(i0r - R, 0, max(Hp + pad_h - wh, 0))          # [ny, 1]
     bands = jax.vmap(
         lambda o: lax.dynamic_slice(P, (o, 0), (bh, We)))(oyr[:, 0])
@@ -555,87 +576,66 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
 
     vmem = pl.ANY if interpret else pltpu.VMEM
 
-    # Mosaic restricts dynamic offsets along the lane (last) dimension, so
-    # the kernel evaluates each tile against the FULL band width and lets
-    # the key masks discard out-of-window positions.  The band's W
-    # row-shifted views are sliced to the wh = R+1 candidate rows (every
-    # valid candidate has dy <= i0 - oy <= R).
-    wh = R + 1
     lay = packed_sel_layout(W, R, cols)
-    # tile-group size: G tiles of a row share one Mosaic op stream
-    # ([G, wh, We] tensors) so the VPU sees few large ops instead of many
-    # small ones.  Bounded by VMEM: ~6 live [G, wh, We] int32 temporaries.
     import os as _os
-    G = 1
-    if lay is not None:
-        genv = int(_os.environ.get("BIC_FUSED_GROUP", "0"))
-        for g in ((genv,) if genv else (16, 8, 4, 2)):
-            if g <= nx and 6 * g * wh * We * 4 <= 12 * 2 ** 20:
-                G = g
-                break
-    nfull, rem = divmod(nx, G)
+    genv = int(_os.environ.get("BIC_FUSED_GROUP", "0"))
+    # NOTE: read at TRACE time (jit caches the compiled kernel) — changing
+    # BIC_FUSED_GROUP mid-process does not retrace; restart for A/B runs
+    G, groups = plan_groups(nx, W, R, We, wh, genv)
 
-    def kernel(yb_ref, i0_ref, oy_ref, j0_ref, trow_ref, band_ref, out_ref):
+    def kernel(yb_ref, i0_ref, oy_ref, trow_ref, band_ref, out_ref):
         r = pl.program_id(0)
         i0s = i0_ref[r] + yb_ref[0]   # absolute coordinates for the masks
         oys = oy_ref[r] + yb_ref[0]
-        bandv = band_ref[0]                         # [bh, We] uint32
 
         rowparts = _selection_rowparts(i0s, oys, W=W, R=R, cols=cols,
                                        h=wh, w=We)
 
-        def group_body(g0, Gs):
-            # per-tile scalars gathered from SMEM; tv is splatted to
-            # [Gs, wh, 1] (not [Gs, 1, 1]) because Mosaic cannot broadcast
-            # along sublanes and lanes at once
-            j0v = jnp.concatenate(
-                [jnp.zeros((1, 1, 1), jnp.int32) + j0_ref[r, g0 + g]
-                 for g in range(Gs)], axis=0)
-            acc = jnp.zeros((Gs, wh, We), jnp.int32)
-            for a in range(nit):   # k row fields per lane (see packing)
-                tv = jnp.concatenate(
-                    [jnp.zeros((1, wh, 1), jnp.uint32)
-                     + trow_ref[r, g0 + g, a] for g in range(Gs)], axis=0)
-                x = bandv[a:a + wh, :][None] ^ tv
-                acc = acc + lax.population_count(x).astype(jnp.int32)
-            outs = _selection_packed_group(
-                acc, i0s, j0v, oys, W=W, R=R, T_thresh=T_thresh,
-                cols=cols, invert=invert, lay=lay, rowparts=rowparts)
-            out_ref[0, pl.ds(g0, Gs), :] = jnp.concatenate(
-                outs, axis=1).astype(jnp.int32)
+        def tv_splat(t, a):
+            # per-tile field word from the VMEM operand (static indices),
+            # splatted to [1, wh, 1]: Mosaic cannot broadcast along
+            # sublanes and lanes in one op, so lanes stay 1 here and the
+            # xor below broadcasts them
+            return jnp.zeros((1, wh, 1), jnp.uint32) + trow_ref[0, t, a]
 
-        def tile_body(t, carry):
-            acc = jnp.zeros((wh, We), jnp.int32)
-            for a in range(nit):   # k row fields per lane (see packing above)
-                x = bandv[a:a + wh, :] ^ trow_ref[r, t, a]
+        for g0, Gs, xs, span in groups:      # static unroll
+            j0v = (jax.lax.broadcasted_iota(jnp.int32, (Gs, 1, 1), 0)
+                   + g0) * W
+            acc = jnp.zeros((Gs, wh, span), jnp.int32)
+            for a in range(nit):   # k row fields per lane (see packing)
+                tv = jnp.concatenate([tv_splat(g0 + g, a)
+                                      for g in range(Gs)], axis=0)
+                x = band_ref[0, a:a + wh, xs:xs + span][None] ^ tv
                 acc = acc + lax.population_count(x).astype(jnp.int32)
             if lay is not None:
-                outs = _selection_scalars_packed(
-                    acc, i0s, j0_ref[r, t], oys, W=W, R=R,
-                    T_thresh=T_thresh, cols=cols, invert=invert,
-                    w=We, lay=lay, rowparts=rowparts)
+                outs = _selection_packed_group(
+                    acc, i0s, j0v, oys, W=W, R=R, T_thresh=T_thresh,
+                    cols=cols, invert=invert, lay=lay,
+                    rowparts=rowparts, x0=xs)
+                out_ref[0, g0:g0 + Gs, :] = jnp.concatenate(
+                    outs, axis=1).astype(jnp.int32)
             else:
-                outs = _selection_scalars(
-                    acc, i0s, j0_ref[r, t], oys, jnp.int32(0),
-                    W=W, R=R, T_thresh=T_thresh, rows=rows, cols=cols,
-                    invert=invert, h=wh, w=We, rowparts=rowparts)
-            out_ref[0, pl.ds(t, 1), :] = \
-                jnp.stack(outs).astype(jnp.int32).reshape(1, 8)
-            return carry
-
-        if G > 1:
-            lax.fori_loop(0, nfull,
-                          lambda i, c: (group_body(i * G, G), c)[1],
-                          jnp.int32(0))
-            if rem:
-                group_body(jnp.int32(nfull * G), rem)
-        else:
-            lax.fori_loop(0, nx, tile_body, jnp.int32(0))
+                # masked-grid fallback (packed layout doesn't fit): per
+                # tile, dx/dy decode from the chunk-relative flat argmin
+                flat = jax.lax.broadcasted_iota(
+                    jnp.int32, (wh, span), 0) * span +                     jax.lax.broadcasted_iota(jnp.int32, (wh, span), 1)
+                rp = rowparts[:4] + (flat,)
+                for g in range(Gs):
+                    outs = list(_selection_scalars(
+                        acc[g], i0s, jnp.int32((g0 + g) * W), oys,
+                        jnp.int32(xs), W=W, R=R, T_thresh=T_thresh,
+                        rows=rows, cols=cols, invert=invert, h=wh,
+                        w=span, rowparts=rp))
+                    outs[7] = outs[7] + xs   # dx: chunk -> absolute column
+                    out_ref[0, g0 + g:g0 + g + 1, :] = jnp.stack(
+                        outs).astype(jnp.int32).reshape(1, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(ny,),
         in_specs=[
+            pl.BlockSpec((1, nx, nit), lambda r, *_: (r, 0, 0),
+                         memory_space=vmem),
             pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
                          memory_space=vmem),
         ],
@@ -647,7 +647,7 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ny, nx, 8), jnp.int32),
         interpret=interpret,
-    )(yb, i0r[:, 0], oyr[:, 0], j0r, trow, bands)
+    )(yb, i0r[:, 0], oyr[:, 0], trow, bands)
     out = out.reshape(T, 8)
     sel = dict(bestd=out[:, 0], dy=out[:, 1], dx=out[:, 7],
                bestinv=out[:, 2].astype(jnp.bool_),

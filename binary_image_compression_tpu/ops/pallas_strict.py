@@ -51,7 +51,9 @@ from .pallas_kernels import (_field_plane, _selection_scalars,
 
 
 def supported(W: int, R: int) -> bool:
-    return W in (8, 16, 24, 32) and R >= 1
+    # the band starts Rg = roundup8(R) rows above each tile; grid-1
+    # candidate rows span [i0-W, i0], so Rg must reach them (ADVICE r3)
+    return W in (8, 16, 24, 32) and R >= 1 and max(8, -(-R // 8) * 8) >= W
 
 
 def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,

@@ -64,7 +64,7 @@ def _analyze_shard(block, *, n: int, W: int, R: int, T_thresh: int,
     # (the zero halo of the top shards) land at negative absolute y and are
     # masked off by the key grids.
     from ..ops import pallas_kernels
-    if pallas_kernels.fused_supported(ny_loc, nx, W):
+    if pallas_kernels.fused_supported(ny_loc, nx, W, R):
         if 32 % W == 0:
             sel, oy_rel, ox, plane = pallas_kernels.fused_search_select(
                 ext, i0_rel, j0, ny_loc, nx, W=W, R=R, T_thresh=T_thresh,
@@ -136,6 +136,7 @@ def encode_tile_sharded(mesh: Mesh, img: np.ndarray, params=None) -> bytes:
     from ..models.codec import CodecParams, _header, image_crc
     params = params or CodecParams(codec=8, strict=False)
     assert params.codec in (4, 7, 8) and not params.strict
+    assert params.R >= params.W, "device band geometry requires R >= W"
     compress._check_W(params)
     img = np.asarray(img, dtype=bool)
     rows, cols = img.shape

@@ -37,17 +37,25 @@ SELECTION_LANE_OPS = 20
 
 
 def fused_search_model(*, W: int, R: int, rows: int, cols: int) -> dict:
-    """Analytic per-page op/byte counts for fused_search_select."""
+    """Analytic per-page op/byte counts for fused_search_select.
+
+    Mirrors the kernel's actual loop structure: tile groups evaluate
+    STATIC x-chunked band slices (pallas_kernels.plan_groups), so the
+    per-group work is (3*nit + SEL) * wh * span — not the full band width
+    the round-3 kernel paid."""
+    from ..ops.pallas_kernels import plan_groups
     ny = -(-rows // W)
     nx = -(-cols // W)
-    T = ny * nx
     wh = R + 1
     We = nx * W
     He = ny * W + max(0, wh - (ny * W - W + 1))
     k = field_packing(W)
     nit = W // k
     dist_ops = 3 * nit                      # xor + popcount + add per field
-    lane_ops = T * (dist_ops + SELECTION_LANE_OPS) * wh * We
+    _, groups = plan_groups(nx, W, R, We, wh)
+    row_ops = sum((dist_ops + SELECTION_LANE_OPS) * Gs * wh * span
+                  for _, Gs, _, span in groups)
+    lane_ops = ny * row_ops
     # HBM: packed field plane written + read for band gather, bands written
     # + read by the kernel, trow/scalars/outputs negligible
     plane = He * We * 4

@@ -117,3 +117,54 @@ def test_fused_search_matches_banded(rng, dims):
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_fused_supported_wide_grids_and_layout():
+    """Round-4: the per-tile field words are a VMEM operand (no SMEM
+    scalar-prefetch cap), and scan keys are window-relative, so the fused
+    kernel + packed selection cover wide pages that round 3 routed to the
+    banded fallback."""
+    # 2048x2048 at W=16: T = 16384 tiles — far beyond the old ~1536 cap
+    assert pk.fused_supported(128, 128, 16, 128)
+    assert pk.packed_sel_layout(16, 128, 2048) is not None
+    assert pk.packed_sel_layout(16, 128, 100000) is not None
+    # R < W: band geometry cannot cover grid-1 rows — not supported
+    assert not pk.fused_supported(8, 8, 16, 8)
+    assert pk.packed_sel_layout(16, 8, 512) is None
+
+
+def test_plan_groups_cover_windows():
+    """Every tile's search window columns lie inside its group's static
+    band chunk, and chunk offsets are 128-aligned."""
+    for nx, W, R in ((32, 16, 128), (128, 16, 128), (7, 8, 16),
+                     (64, 32, 64)):
+        We = nx * W
+        G, groups = pk.plan_groups(nx, W, R, We, R + 1)
+        seen = set()
+        for g0, Gs, xs, span in groups:
+            assert xs % 128 == 0 and xs + span <= We
+            for g in range(Gs):
+                t = g0 + g
+                seen.add(t)
+                lo = max(0, t * W - R)
+                hi = min(We, t * W + R + W)
+                assert xs <= lo and hi <= xs + span, (nx, W, R, t)
+        assert seen == set(range(nx))
+
+
+def test_r_less_than_w_routes_to_host(rng):
+    """R < W params produce host-encoder streams (bit-exact round trip);
+    encode_analyze refuses them (ADVICE r3 item 1)."""
+    import pytest
+    import jax.numpy as jnp
+    from binary_image_compression_tpu.models import codec, compress
+    img = rng.rand(48, 64) < 0.3
+    p = codec.CodecParams(codec=8, W=16, R=8, strict=False)
+    blob = compress.encode(img, p)
+    assert blob == codec.encode(img, p)
+    assert (codec.decode(blob) == img).all()
+    blobs = compress.encode_batch(img[None], p)
+    assert blobs[0] == blob
+    with pytest.raises(ValueError, match="R >= W"):
+        compress.encode_analyze(jnp.asarray(img, jnp.int8), W=16, R=8,
+                                T_thresh=1, rows=48, cols=64)
