@@ -579,11 +579,22 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
     lay = packed_sel_layout(W, R, cols)
     import os as _os
     genv = int(_os.environ.get("BIC_FUSED_GROUP", "0"))
-    # NOTE: read at TRACE time (jit caches the compiled kernel) — changing
-    # BIC_FUSED_GROUP mid-process does not retrace; restart for A/B runs
+    # NOTE: env knobs are read at TRACE time (jit caches the compiled
+    # kernel) — changing them mid-process does not retrace; restart the
+    # process for A/B runs (ADVICE r3 item 5)
     G, groups = plan_groups(nx, W, R, We, wh, genv)
+    # per-tile field words: SMEM scalar-prefetch when the footprint fits
+    # (Mosaic accounts prefetched operands at ~64 B/element; SMEM scalar
+    # reads are cheaper than VMEM element loads), else a VMEM operand —
+    # which is what lets wide grids (the round-3 ~1500-tile cap) stay on
+    # the fused kernel at all
+    tenv = _os.environ.get("BIC_FUSED_TROW", "")
+    trow_smem = (ny * nx * nit * 64 <= 768 * 1024 if tenv == ""
+                 else tenv == "smem")
 
     def kernel(yb_ref, i0_ref, oy_ref, trow_ref, band_ref, out_ref):
+        # same positional order whether trow rides scalar prefetch (SMEM,
+        # whole [ny, nx, nit] array) or a VMEM operand (per-row block)
         r = pl.program_id(0)
         i0s = i0_ref[r] + yb_ref[0]   # absolute coordinates for the masks
         oys = oy_ref[r] + yb_ref[0]
@@ -592,11 +603,11 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                                        h=wh, w=We)
 
         def tv_splat(t, a):
-            # per-tile field word from the VMEM operand (static indices),
-            # splatted to [1, wh, 1]: Mosaic cannot broadcast along
-            # sublanes and lanes in one op, so lanes stay 1 here and the
-            # xor below broadcasts them
-            return jnp.zeros((1, wh, 1), jnp.uint32) + trow_ref[0, t, a]
+            # per-tile field word splatted to [1, wh, 1]: Mosaic cannot
+            # broadcast along sublanes and lanes in one op, so lanes stay
+            # 1 here and the xor below broadcasts them
+            w0 = trow_ref[r, t, a] if trow_smem else trow_ref[0, t, a]
+            return jnp.zeros((1, wh, 1), jnp.uint32) + w0
 
         for g0, Gs, xs, span in groups:      # static unroll
             j0v = (jax.lax.broadcasted_iota(jnp.int32, (Gs, 1, 1), 0)
@@ -630,18 +641,30 @@ def fused_search_select(img_bits, i0, j0, ny: int, nx: int, *, W: int,
                     out_ref[0, g0 + g:g0 + g + 1, :] = jnp.stack(
                         outs).astype(jnp.int32).reshape(1, 8)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(ny,),
-        in_specs=[
-            pl.BlockSpec((1, nx, nit), lambda r, *_: (r, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
-                         memory_space=vmem),
-        ],
-        out_specs=pl.BlockSpec((1, nx, 8), lambda r, *_: (r, 0, 0),
-                               memory_space=vmem),
-    )
+    if trow_smem:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,   # yb, i0r, oyr, trow
+            grid=(ny,),
+            in_specs=[
+                pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
+                             memory_space=vmem),
+            ],
+            out_specs=pl.BlockSpec((1, nx, 8), lambda r, *_: (r, 0, 0),
+                                   memory_space=vmem),
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ny,),
+            in_specs=[
+                pl.BlockSpec((1, nx, nit), lambda r, *_: (r, 0, 0),
+                             memory_space=vmem),
+                pl.BlockSpec((1, bh, We), lambda r, *_: (r, 0, 0),
+                             memory_space=vmem),
+            ],
+            out_specs=pl.BlockSpec((1, nx, 8), lambda r, *_: (r, 0, 0),
+                                   memory_space=vmem),
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
