@@ -71,7 +71,24 @@ def update_coefficients(E, D, A, max_flips: int | None = None,
     Per sweep every sample flips the single coefficient whose atom most
     reduces |E_i| (exactly the reference's inner-loop step); sweeps repeat
     under lax.while_loop until no sample improves (bounded by max_flips).
-    Returns (E', A', changed_count)."""
+    Returns (E', A', changed_count).
+
+    distances="gram" is the Gram-matrix formulation — the reference's
+    broken update_coefficients_fast (bsvd.cpp:1116-1213) done CORRECTLY
+    over GF(2): cross[i,j] = <E_i, D_j> is carried across sweeps and
+    updated incrementally after each flip.  Over GF(2) the flip
+    E_i ^= D_k is NOT the linear update the reference applied (that is
+    exactly why its version never worked): the exact identity is
+
+        <E ^ D_k, D_j> = <E, D_j> + G[k, j] - 2 <E & D_k, D_j>
+
+    so the correction needs G = D D^t (computed ONCE per call, the Gram
+    lever) plus one triple-overlap matmul per sweep — which replaces the
+    full distance re-matmul and the O(N M) weight re-reduction of the
+    plain sweep.  The flips chosen are bit-identical to distances="mxu"
+    (the corrections are exact integer arithmetic; tests pin this)."""
+    if distances == "gram":
+        return _update_coefficients_gram(E, D, A, max_flips)
     N, M = E.shape
     K = D.shape[0]
     if max_flips is None:
@@ -102,6 +119,57 @@ def update_coefficients(E, D, A, max_flips: int | None = None,
     changed0 = jnp.zeros((N,), dtype=bool)
     E, A, _, _, changed = lax.while_loop(
         cond, sweep, (E, A, active0, jnp.int32(0), changed0))
+    return E, A, changed.sum(dtype=jnp.int32)
+
+
+def _update_coefficients_gram(E, D, A, max_flips: int | None = None):
+    """Gram/cross-carry pursuit (see update_coefficients docstring).
+
+    Carries (w, cross) so each sweep's candidate distances cost O(NK)
+    element ops; the only matmul per sweep is the exact GF(2) correction
+    term T[i, j] = <E_i & D_bestk_i, D_j>, evaluated on the pre-flip
+    residual and masked to the improving rows."""
+    N, M = E.shape
+    K = D.shape[0]
+    if max_flips is None:
+        max_flips = K
+
+    Df = _f32(D)
+    wd = D.sum(axis=1, dtype=jnp.float32)                    # [K] |D_k|
+    G = jnp.dot(Df, Df.T, preferred_element_type=jnp.float32)  # [K, K]
+    cross0 = jnp.dot(_f32(E), Df.T,
+                     preferred_element_type=jnp.float32)     # [N, K]
+    w0 = E.sum(axis=1, dtype=jnp.float32)                    # [N]
+
+    def sweep(state):
+        E, A, w, cross, active, it, changed = state
+        d = w[:, None] + wd[None, :] - 2.0 * cross           # [N, K]
+        bestk = jnp.argmin(d, axis=1)
+        bestd = jnp.take_along_axis(d, bestk[:, None], axis=1)[:, 0]
+        improve = (bestd < w) & active
+        sel = jax.nn.one_hot(bestk, K, dtype=A.dtype)
+        A = jnp.where(improve[:, None], A ^ sel, A)
+        atom = jnp.take(D, bestk, axis=0)                    # [N, M]
+        # exact GF(2) correction: <E^Dk, Dj> = cross + G[k] - 2 <E&Dk, Dj>
+        F = jnp.where(improve[:, None], E & atom, 0)
+        T = jnp.dot(_f32(F), Df.T,
+                    preferred_element_type=jnp.float32)      # [N, K]
+        corr = jnp.take(G, bestk, axis=0) - 2.0 * T
+        cross = jnp.where(improve[:, None], cross + corr, cross)
+        # |E ^ Dk| = bestd, already exact
+        w = jnp.where(improve, bestd, w)
+        E = jnp.where(improve[:, None], E ^ atom, E)
+        changed = changed | improve
+        return E, A, w, cross, improve, it + 1, changed
+
+    def cond(state):
+        active, it = state[4], state[5]
+        return jnp.any(active) & (it < max_flips)
+
+    active0 = jnp.ones((N,), dtype=bool)
+    changed0 = jnp.zeros((N,), dtype=bool)
+    E, A, _, _, _, _, changed = lax.while_loop(
+        cond, sweep, (E, A, w0, cross0, active0, jnp.int32(0), changed0))
     return E, A, changed.sum(dtype=jnp.int32)
 
 

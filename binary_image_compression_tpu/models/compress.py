@@ -676,9 +676,11 @@ def _planes_payload_device(planes_bits, *, rows: int, cols: int):
     res_bits = bitpack.unpack(res, cols).reshape(-1, n)     # [P, n]
 
     def one(flat):
-        runs, n_runs = egdevice.runs_from_residual_flat(flat, n_pixels=n)
-        w, tb = egdevice.eg_encode_runs_device(runs[:cap], n_runs,
-                                               n_pixels=n)
+        # cap bounds the nonzero gather AND everything downstream (the
+        # transition sweep, the scan, the chunk math) at n/8 + 2 runs
+        runs, n_runs = egdevice.runs_from_residual_flat(flat, n_pixels=n,
+                                                        cap=cap)
+        w, tb = egdevice.eg_encode_runs_device(runs, n_runs, n_pixels=n)
         return w, tb, n_runs
 
     return jax.vmap(one)(res_bits)

@@ -167,23 +167,37 @@ def eg_encode_runs_device(runs, n_runs, *, n_pixels: int):
     return words, total_bits
 
 
-@partial(jax.jit, static_argnames=("n_pixels",))
-def runs_from_residual_flat(flat_bits, *, n_pixels: int):
+@partial(jax.jit, static_argnames=("n_pixels", "cap"))
+def runs_from_residual_flat(flat_bits, *, n_pixels: int,
+                            cap: int | None = None):
     """Zero-run lengths of a flat 0/1 residual, on device (codec-10 symbol
     stream, models/codec._medrle_runs semantics: gaps before each 1 plus
     the trailing zero run when nonempty).
 
-    Returns (runs int32 [n_pixels + 1], n_runs)."""
+    cap bounds the returned run array ([cap] instead of [n_pixels + 1]):
+    the nonzero gather and everything downstream then scale with cap, not
+    the pixel count.  n_runs is always the TRUE count — when it exceeds
+    cap the array content past the bound is unusable and callers must
+    fall back (models/compress.encode_planes_device does).
+
+    Returns (runs int32 [cap or n_pixels + 1], n_runs)."""
+    size = n_pixels + 1 if cap is None else cap
     flat = jnp.asarray(flat_bits, jnp.int32).reshape(n_pixels)
     n_ones = flat.sum()
-    idx = jnp.nonzero(flat, size=n_pixels, fill_value=n_pixels)[0]
+    idx = jnp.nonzero(flat, size=size, fill_value=n_pixels)[0]
     prev = jnp.concatenate([jnp.full((1,), -1, idx.dtype), idx[:-1]])
     gaps = (idx - prev - 1).astype(jnp.int32)
-    last_one = jnp.where(n_ones > 0, idx[jnp.maximum(n_ones - 1, 0)], -1)
+    # mask the fill tail so the trailing-run scatter below is the only
+    # nonzero entry past the gaps
+    live = jnp.arange(size) < n_ones
+    gaps = jnp.where(live, gaps, 0)
+    last_one = jnp.where(n_ones > 0, idx[jnp.minimum(
+        jnp.maximum(n_ones - 1, 0), size - 1)], -1)
     trailing = n_pixels - 1 - last_one
-    runs = jnp.zeros((n_pixels + 1,), jnp.int32)
-    runs = lax.dynamic_update_slice(runs, gaps, (0,))
-    # trailing zero run (decoder stops on pixel count, so only if nonempty)
-    runs = runs.at[n_ones].set(trailing.astype(jnp.int32))
+    # trailing zero run (decoder stops on pixel count, so only if nonempty);
+    # out-of-range scatter (n_ones >= size) drops, callers detect overflow
+    # via n_runs
+    runs = gaps.at[n_ones].set(trailing.astype(jnp.int32),
+                               mode="drop")
     n_runs = n_ones + (trailing > 0).astype(n_ones.dtype)
     return runs, n_runs

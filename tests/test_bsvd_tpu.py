@@ -91,6 +91,34 @@ def test_update_coefficients_packed_matches_mxu(rng):
     np.testing.assert_array_equal(np.asarray(Am), np.asarray(Ap))
 
 
+def test_update_coefficients_gram_matches_mxu(rng):
+    # the Gram/cross-carry pursuit (the reference's broken
+    # update_coefficients_fast, bsvd.cpp:1116-1213, done correctly over
+    # GF(2)) must choose bit-identical flips to the plain sweep
+    for n, m, K in [(40, 48, 8), (64, 96, 16), (128, 64, 32)]:
+        X, E, D, A = _common_state(rng, n=n, m=m, K=K)
+        args = (jnp.asarray(E, jnp.int8), jnp.asarray(D, jnp.int8),
+                jnp.asarray(A, jnp.int8))
+        Em, Am, cm = bsvd.update_coefficients(*args, distances="mxu")
+        Eg, Ag, cg = bsvd.update_coefficients(*args, distances="gram")
+        np.testing.assert_array_equal(np.asarray(Em), np.asarray(Eg))
+        np.testing.assert_array_equal(np.asarray(Am), np.asarray(Ag))
+        assert int(cm) == int(cg)
+
+
+def test_update_coefficients_gram_matches_ref(rng):
+    # and therefore the reference replay too (same guarantee as the mxu
+    # variant's test_update_coefficients_exact)
+    X, E, D, A = _common_state(rng)
+    E_ref, A_ref = E.copy(), A.copy()
+    bsvd_ref.update_coefficients(E_ref, D, A_ref)
+    Ej, Aj, _ = bsvd.update_coefficients(
+        jnp.asarray(E, jnp.int8), jnp.asarray(D, jnp.int8),
+        jnp.asarray(A, jnp.int8), distances="gram")
+    np.testing.assert_array_equal(np.asarray(Ej).astype(bool), E_ref)
+    np.testing.assert_array_equal(np.asarray(Aj).astype(bool), A_ref)
+
+
 def test_update_dictionary_steepest_exact(rng):
     X, E, D, A = _common_state(rng)
     E_ref, D_ref = E.copy(), D.copy()
