@@ -86,6 +86,22 @@ def _compose(a, b):
         jnp.uint8)
 
 
+def _compose_bitplane(a, b):
+    """Gather-free _compose: tables are 32 entries of 5-bit states, so each
+    of b's 5 state bits packs into ONE uint32 word (bit s = bit of b[s]) and
+    b[a[s]] becomes a lane-wise variable shift — elementwise ops only, no
+    take_along_axis (TPU gathers serialize; shifts ride the VPU)."""
+    s_iota = jnp.arange(32, dtype=jnp.uint32)
+    av = a.astype(jnp.uint32)
+    bv = b.astype(jnp.uint32)
+    out = jnp.zeros_like(av)
+    for bit in range(5):
+        plane = (((bv >> bit) & 1) << s_iota).sum(axis=-1,
+                                                  dtype=jnp.uint32)
+        out = out | (((plane[..., None] >> av) & 1) << bit)
+    return out.astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("n_pixels",))
 def eg_encode_runs_device(runs, n_runs, *, n_pixels: int):
     """Adaptive-EG payload for a padded run array, fully on device.

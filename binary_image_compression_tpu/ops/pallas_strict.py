@@ -81,9 +81,11 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
 
 @lru_cache(maxsize=16)
 def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
-            interpret, debug_skip=None):
+            interpret, debug_skip=None, acc_rot=False):
     # debug_skip ("acc" | "selection" | "subst") disables one kernel stage
-    # for perf bisection ONLY — outputs are wrong; never set in production
+    # for perf bisection ONLY — outputs are wrong; never set in production.
+    # acc_rot selects the aligned-rotation distance accumulator (identical
+    # integer results; A/B lever, see the kernel body).
     ny, nx = gh // W, gw // W
     T = ny * nx
     M = W * W
@@ -109,7 +111,7 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
     kernel = _make_kernel(W=W, R=R, Rg=Rg, T_thresh=T_thresh, rows=rows,
                           cols=cols, invert=invert, use_pred=use_pred, nx=nx,
                           bh=bh, He=He, We=We, interpret=interpret,
-                          debug_skip=debug_skip)
+                          debug_skip=debug_skip, acc_rot=acc_rot)
     vmem = pl.ANY if interpret else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # oy_rows [ny], j0_row [nx], enb [M+1]
@@ -152,7 +154,7 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
 
 
 def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
-                 bh, He, We, interpret, debug_skip=None):
+                 bh, He, We, interpret, debug_skip=None, acc_rot=False):
     # numpy scalars: jnp constants created outside the traced kernel would
     # be closure captures, which pallas rejects
     wmask = np.uint32((1 << W) - 1)
@@ -215,13 +217,28 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
             # wh = Rg+1 rows cover every valid dy (Rg >= R); static slices
-            # of the band value replace per-a rolls (no full-band copy)
+            # of the band value replace per-a rolls (no full-band copy).
+            # acc_rot pre-rotates the band by each sublane residue once, so
+            # every per-a slice lands on an 8-aligned sublane offset
+            # (a - a%8) — W unaligned 129-row shifts become 7 full-band
+            # rotations + W aligned slices.
             wh = Rg + 1
             acc = jnp.zeros((wh, We), jnp.int32)
             if debug_skip != "acc":
-                for a in range(W):
-                    f = band[a:a + wh, :] ^ trow[a, 0]
-                    acc = acc + lax.population_count(f).astype(jnp.int32)
+                if acc_rot:
+                    rots = [band if s == 0 else roll_rows(band, s)
+                            for s in range(min(8, W))]
+                    for a in range(W):
+                        s = a % 8
+                        base = a - s
+                        f = rots[s][base:base + wh, :] ^ trow[a, 0]
+                        acc = acc + lax.population_count(f).astype(
+                            jnp.int32)
+                else:
+                    for a in range(W):
+                        f = band[a:a + wh, :] ^ trow[a, 0]
+                        acc = acc + lax.population_count(f).astype(
+                            jnp.int32)
 
             if debug_skip == "selection":
                 z = acc[0, 0] & 0

@@ -171,6 +171,19 @@ def test_device_eg_payload_matches_native(rng):
         assert dev == native.eg_encode_runs(runs), (dens, shape)
 
 
+def test_compose_bitplane_matches_gather(rng):
+    """The gather-free composition (5 packed state-bit words + lane-wise
+    variable shifts) is exactly take_along_axis composition, including on
+    non-permutation tables."""
+    import jax.numpy as jnp
+    from binary_image_compression_tpu.ops import egdevice
+    a = jnp.asarray(rng.randint(0, 32, (257, 32)), jnp.uint8)
+    b = jnp.asarray(rng.randint(0, 32, (257, 32)), jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(egdevice._compose(a, b)),
+        np.asarray(egdevice._compose_bitplane(a, b)))
+
+
 def test_planes_device_assembly_matches_native_assembly():
     """encode_planes_device(assembly='device') — the whole codec-10 encode
     as ONE jit shipping bytes through pack_varlen — must equal the native
