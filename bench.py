@@ -180,6 +180,31 @@ def main():
         "codec10_bytes": len(b10),
     }
 
+    # codec 11 — BSVD learned-dictionary patch codec (BASELINE config #3,
+    # the capability the reference's patch_compress.cpp aimed at but never
+    # compiled).  Learning runs on the chip (bsvd.learn); the entropy
+    # stage is host bit IO.  Encode includes the full dictionary learn.
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
+        p11 = codec.CodecParams(codec=11, W=16, T=0, R=0)
+        b11 = codec.encode(img, p11)
+        signal.alarm(0)
+        assert (codec.decode(b11) == img).all()
+        t0 = time.time()
+        for _ in range(3):
+            codec.encode(img, p11)
+        t11e = (time.time() - t0) / 3
+        t0 = time.time()
+        for _ in range(3):
+            codec.decode(b11)
+        t11d = (time.time() - t0) / 3
+        result["codec11_encode_mps"] = round(mp / t11e, 3)
+        result["codec11_decode_mps"] = round(mp / t11d, 3)
+        result["codec11_bytes"] = len(b11)
+    except _CompileTimeout:
+        result["codec11"] = "skipped: remote-compile stall"
+
     # TPU pipeline under a compile watchdog (remote-compile latency varies
     # 19s..480s with service load)
     signal.signal(signal.SIGALRM, _alarm)
@@ -406,35 +431,32 @@ def main():
         result["codec8_strict_tpu_speedup"] = round(t_sh / t_se, 2)
         # device-true: the wall numbers above pay the remote tunnel's ~27 ms
         # RTT per dispatch plus host packing; the kernel itself is much
-        # faster.  Same differential recipe as codec8_device_true: (6
-        # chained encodes - 1)/5 inside single dispatches (VERDICT r3
-        # item 3).
+        # faster.  Chained-dispatch differential: k independent dispatches
+        # forced by ONE tiny reduction jit over all their outputs (a
+        # fori_loop AROUND the pallas kernel compiles pathologically
+        # through the remote service, so the chain lives in the dispatch
+        # queue instead), (t11 - t1)/10 (VERDICT r3 item 3).
         import jax.numpy as jnp
-        from jax import lax
         from binary_image_compression_tpu.ops import pallas_strict
         grid = np.zeros((512, 512), np.int8)
         grid[:rows, :cols] = img
-        gj = jnp.asarray(grid, jnp.uint32)
+        g0 = jnp.asarray(grid, jnp.uint32)
+        g1 = g0 ^ jnp.uint32(1)
         T_th = ps.resolved_T()
+        sfn = pallas_strict._jitted(16, 128, T_th, rows, cols, 512, 512,
+                                    True, True, False)
+        comb = jax.jit(lambda xs: sum(x.sum(dtype=jnp.int32) for x in xs))
 
-        def make_strict_many(n):
-            @jax.jit
-            def many(g):
-                def body(i, s):
-                    o = pallas_strict.strict_analyze(
-                        g ^ (i & 1).astype(jnp.uint32), W=16, R=128,
-                        T_thresh=T_th, rows=rows, cols=cols,
-                        invert=True, use_pred=True)
-                    return s + o["rank"].sum() + o["weight"].sum()
-                return lax.fori_loop(0, n, body, jnp.int32(0))
-            return many
+        def strict_run_k(k):
+            outs = [sfn(g0 if i % 2 == 0 else g1)[0][:, 1]
+                    for i in range(k)]
+            return int(jax.device_get(comb(outs)))
 
-        sm1, sm6 = make_strict_many(1), make_strict_many(6)
-        jax.device_get(sm1(gj)); jax.device_get(sm6(gj))
-        t0 = time.time(); jax.device_get(sm1(gj)); st1 = time.time() - t0
-        t0 = time.time(); jax.device_get(sm6(gj)); st6 = time.time() - t0
+        strict_run_k(1); strict_run_k(11)
+        t0 = time.time(); strict_run_k(1); st1 = time.time() - t0
+        t0 = time.time(); strict_run_k(11); st11 = time.time() - t0
         result["codec8_strict_device_ms_per_page"] = round(
-            (st6 - st1) / 5 * 1e3, 2)
+            (st11 - st1) / 10 * 1e3, 2)
     except _CompileTimeout:
         result["codec8_strict_tpu"] = "skipped: remote-compile stall"
 
