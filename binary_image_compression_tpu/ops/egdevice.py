@@ -192,9 +192,11 @@ def runs_from_residual_flat(flat_bits, *, n_pixels: int,
 
     cap bounds the returned run array ([cap] instead of [n_pixels + 1]):
     the nonzero gather and everything downstream then scale with cap, not
-    the pixel count.  n_runs is always the TRUE count — when it exceeds
-    cap the array content past the bound is unusable and callers must
-    fall back (models/compress.encode_planes_device does).
+    the pixel count.  Contract: whenever the true run count fits cap,
+    (runs, n_runs) are exact; when it does not, n_runs is still
+    guaranteed > cap (it may differ from the true count — the trailing
+    probe only sees the first cap ones), which is the only property
+    callers use to fall back (models/compress.encode_planes_device).
 
     Returns (runs int32 [cap or n_pixels + 1], n_runs)."""
     size = n_pixels + 1 if cap is None else cap

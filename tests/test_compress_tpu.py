@@ -171,6 +171,39 @@ def test_device_eg_payload_matches_native(rng):
         assert dev == native.eg_encode_runs(runs), (dens, shape)
 
 
+def test_runs_from_residual_cap_boundaries(rng):
+    """The capped run extraction must agree with the uncapped one whenever
+    n_runs <= cap, and report the true n_runs (> cap) on overflow so
+    callers can fall back — including the exact n_ones == cap boundary."""
+    import jax.numpy as jnp
+    from binary_image_compression_tpu.ops import egdevice
+    n = 64
+    for n_ones, trailing in [(0, 0), (3, 1), (7, 0), (8, 0), (8, 1),
+                             (9, 0), (20, 1)]:
+        flat = np.zeros(n, np.uint8)
+        pos = np.sort(rng.choice(n - (1 if trailing else 0),
+                                 size=n_ones, replace=False)) \
+            if n_ones else np.array([], int)
+        if n_ones and not trailing:
+            pos[-1] = n - 1          # force no trailing zero run
+        flat[pos] = 1
+        cap = 8
+        full, nr_full = egdevice.runs_from_residual_flat(
+            jnp.asarray(flat), n_pixels=n)
+        capd, nr_cap = egdevice.runs_from_residual_flat(
+            jnp.asarray(flat), n_pixels=n, cap=cap)
+        if int(nr_full) <= cap:
+            # in-capacity: exact runs AND exact count
+            assert int(nr_full) == int(nr_cap)
+            np.testing.assert_array_equal(
+                np.asarray(full)[:int(nr_full)],
+                np.asarray(capd)[:int(nr_cap)])
+        else:
+            # overflow: the fallback signal must fire (count may differ
+            # from the true one — only the first cap ones are probed)
+            assert int(nr_cap) > cap
+
+
 def test_compose_bitplane_matches_gather(rng):
     """The gather-free composition (5 packed state-bit words + lane-wise
     variable shifts) is exactly take_along_axis composition, including on
