@@ -644,46 +644,64 @@ def med_planes(planes_bits, cols: int):
     return predict.med_forward(packed, cols)
 
 
-def _eg_run_cap(n_pixels: int) -> int:
-    """Static run-array capacity of the device-EG payload path: a
-    12.5%-ones density bound.  ONE definition for both the in-jit slice
-    (_planes_payload_device) and the host-side overflow check
-    (encode_planes_device) — a desync would silently truncate payloads
-    (ADVICE r3 item 2)."""
-    return n_pixels // 8 + 2
+def _eg_run_cap(n_pixels: int, level: int = 0) -> int:
+    """Static run-array capacity ladder of the device-EG payload path.
+
+    level 0: a 12.5%-ones density bound (n/8 + 2); level 1: 25% (n/4 + 2).
+    ONE definition for both the in-jit slice (_planes_payload_device) and
+    the host-side routing (encode_planes_device) — a desync would silently
+    truncate payloads (ADVICE r3 item 2)."""
+    return n_pixels // (8 >> level) + 2
 
 
-@partial(jax.jit, static_argnames=("rows", "cols"))
-def _planes_payload_device(planes_bits, *, rows: int, cols: int):
+@partial(jax.jit, static_argnames=("rows", "cols", "cap_level"))
+def _planes_payload_device(planes_bits, *, rows: int, cols: int,
+                           cap_level: int = 0):
     """Full codec-10 payload assembly for a plane stack, ON DEVICE:
     MED residual -> zero-run extraction -> adaptive-EG codes (the 32-state
     LUT adaptation as an associative scan over transition-table composition)
     -> parallel-prefix bit packing (ops/bitstream.pack_varlen).  The
     BASELINE-named parallel bitstream assembly, producing product bytes.
 
-    Returns (words, total_bits, n_runs).  The run array is CAPPED at a
-    12.5%-ones density bound (n/8 + 2): the associative scan and the
+    Returns (words, total_bits, n_runs).  The run array is CAPPED at the
+    cap_level density bound (_eg_run_cap): the associative scan and the
     [N, 32] transition sweep scale with the static run capacity, and the
     uncapped worst case (a run per pixel) made the whole pipeline ~8x
     slower than it needs to be for any MED residual that is actually
-    compressible.  Callers must route planes with n_runs > cap to the
-    native coder (encode_planes_device does)."""
+    compressible.  Callers must route planes with n_runs > cap to a higher
+    level or the native coder (encode_planes_device does both)."""
     from ..ops import egdevice
     n = rows * cols
-    cap = _eg_run_cap(n)
+    cap = _eg_run_cap(n, cap_level)
     packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
     res = predict.med_forward(packed, cols)                 # [P, rows, nw]
     res_bits = bitpack.unpack(res, cols).reshape(-1, n)     # [P, n]
 
     def one(flat):
         # cap bounds the nonzero gather AND everything downstream (the
-        # transition sweep, the scan, the chunk math) at n/8 + 2 runs
+        # transition sweep, the scan, the chunk math)
         runs, n_runs = egdevice.runs_from_residual_flat(flat, n_pixels=n,
                                                         cap=cap)
         w, tb = egdevice.eg_encode_runs_device(runs, n_runs, n_pixels=n)
         return w, tb, n_runs
 
     return jax.vmap(one)(res_bits)
+
+
+@partial(jax.jit, static_argnames=("cols",))
+def _planes_run_counts(planes_bits, cols: int):
+    """Exact codec-10 run count per plane from the packed MED residual —
+    the cheap routing pre-pass for the capacity ladder.  n_runs =
+    n_ones + [trailing zero run exists], and the trailing run exists iff
+    the residual is empty or its last pixel is 0."""
+    packed = bitpack.pack(jnp.asarray(planes_bits, jnp.bool_))
+    res = predict.med_forward(packed, cols)                 # [P, rows, nw]
+    ones = jax.vmap(
+        lambda r: jax.lax.population_count(r).sum(dtype=jnp.int32))(res)
+    last_col = (cols - 1) % 32
+    last_bit = (res[:, -1, -1] >> jnp.uint32(31 - last_col)) & jnp.uint32(1)
+    trailing = (ones == 0) | (last_bit == 0)
+    return ones + trailing.astype(jnp.int32)
 
 
 def encode_planes_device(planes: np.ndarray,
@@ -694,33 +712,63 @@ def encode_planes_device(planes: np.ndarray,
     assembly="device" (default): the ENTIRE encode runs as one jit — MED,
     run extraction, adaptive-EG and the parallel-prefix bit packing all on
     device; the host only prepends headers (needs no native lib at all).
+    Planes are routed by a run-count pre-pass onto a static capacity
+    ladder (12.5% / 25% ones density); denser residuals — which EG mostly
+    expands anyway — go to the native coder, so one pathological plane no
+    longer demotes the whole stack.
     assembly="native": device MED + native C++ EG runs (the r2 path)."""
     from ..ops.bitstream import words_to_bytes
     from . import codec as codec_mod
     planes = np.asarray(planes, dtype=bool)
     P, rows, cols = planes.shape
+    n = rows * cols
     if assembly == "device":
-        words, total_bits, n_runs = jax.device_get(_planes_payload_device(
-            jnp.asarray(planes, jnp.uint8), rows=rows, cols=cols))
-        cap = _eg_run_cap(rows * cols)
-        out = []
+        counts = np.asarray(jax.device_get(_planes_run_counts(
+            jnp.asarray(planes, jnp.uint8), cols)))
+        levels = {}
+        native_idx = []
         for i in range(P):
-            tb = int(total_bits[i])
-            if tb > words.shape[1] * 32 or int(n_runs[i]) > cap:
-                # payload bound exceeded, or residual denser than the run
-                # capacity (incompressible input) — native coder instead
-                return encode_planes_device(planes, "native")
-            params = codec_mod.CodecParams(codec=10, W=0, T=0, R=0)
-            hdr = codec_mod._header(params, rows, cols,
-                                    codec_mod.image_crc(planes[i]))
-            out.append(hdr + words_to_bytes(words[i], tb))
+            for lv in (0, 1):
+                if counts[i] <= _eg_run_cap(n, lv):
+                    levels.setdefault(lv, []).append(i)
+                    break
+            else:
+                native_idx.append(i)
+        params = codec_mod.CodecParams(codec=10, W=0, T=0, R=0)
+        out: list[bytes | None] = [None] * P
+        for lv, idxs in sorted(levels.items()):
+            words, total_bits, n_runs = jax.device_get(
+                _planes_payload_device(
+                    jnp.asarray(planes[idxs], jnp.uint8), rows=rows,
+                    cols=cols, cap_level=lv))
+            for j, i in enumerate(idxs):
+                tb = int(total_bits[j])
+                if (tb > words.shape[1] * 32
+                        or int(n_runs[j]) > _eg_run_cap(n, lv)):
+                    # payload bound exceeded (should not happen: the
+                    # pre-pass count is exact) — native for this plane
+                    native_idx.append(i)
+                    continue
+                hdr = codec_mod._header(params, rows, cols,
+                                        codec_mod.image_crc(planes[i]))
+                out[i] = hdr + words_to_bytes(words[j], tb)
+        if native_idx:
+            nat = _encode_planes_native(planes[sorted(native_idx)], cols)
+            for j, i in enumerate(sorted(native_idx)):
+                out[i] = nat[j]
         return out
+    return _encode_planes_native(planes, cols)
+
+
+def _encode_planes_native(planes: np.ndarray, cols: int) -> list[bytes]:
+    """Device MED + native C++ EG runs (the r2 path)."""
+    from . import codec as codec_mod
     res_packed = jax.device_get(med_planes(jnp.asarray(planes, jnp.uint8),
                                            cols))
     res_bits = bitpack.np_unpack(res_packed, cols)          # [P, rows, cols]
     return [codec_mod._encode_medrle(planes[i],
                                      residual=res_bits[i].astype(np.uint8))
-            for i in range(P)]
+            for i in range(planes.shape[0])]
 
 
 @partial(jax.jit, static_argnames=("W", "R", "T_thresh", "rows", "cols"))

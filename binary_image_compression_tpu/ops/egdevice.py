@@ -134,8 +134,12 @@ def eg_encode_runs_device(runs, n_runs, *, n_pixels: int):
     exit0 = jnp.where(L0 >= 1, exit_s[0, 1].astype(jnp.int32),
                       jnp.int32(0)).astype(jnp.uint8)
     exit_s = exit_s.at[0].set(jnp.broadcast_to(exit0, (32,)))
-    # entry state of run i = composition of transitions 0..i-1 from state 0
-    chain = lax.associative_scan(_compose, exit_s, axis=0)
+    # entry state of run i = composition of transitions 0..i-1 from state 0.
+    # _compose_bitplane, not the take_along_axis _compose: TPU gathers
+    # serialize, and the scan's log2(N) composition levels made the gather
+    # form 94% of the whole codec-10 device pipeline (measured 240.9 ms ->
+    # 42.3 ms for the 8-plane 512^2 stack when switched; ARCHITECTURE.md)
+    chain = lax.associative_scan(_compose_bitplane, exit_s, axis=0)
     entry = jnp.concatenate([jnp.ones((1,), jnp.uint8),  # run 0: state 1
                              chain[:-1, 0]]).astype(jnp.int32)
 

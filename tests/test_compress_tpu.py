@@ -246,6 +246,44 @@ def test_planes_device_assembly_dense_fallback(rng):
         np.testing.assert_array_equal(codec.decode(blob), planes[i])
 
 
+def test_planes_device_assembly_capacity_ladder(rng):
+    """Mixed-density stack: sparse planes ride cap level 0 (12.5%), a
+    mid-density plane level 1 (25%), an ultra-dense plane goes native —
+    each plane individually, with the whole stack byte-identical to the
+    native path and the run-count pre-pass routing them exactly."""
+    from binary_image_compression_tpu.ops import bitpack as bp
+    from binary_image_compression_tpu.ops import predict
+    n = 64 * 64
+    sparse = rng.rand(64, 64) < 0.01
+
+    def plane_with_residual_density(d):
+        # inverse-MED of a d-dense residual => MED forward gives exactly it
+        res = jnp.asarray(rng.rand(64, 64) < d)
+        back = predict.med_inverse(bp.pack(res), 64)
+        return np.asarray(bp.unpack(back, 64)).astype(bool)
+
+    mid = plane_with_residual_density(0.18)      # between 1/8 and 1/4
+    dense = plane_with_residual_density(0.40)    # beyond the ladder
+    planes = np.stack([sparse, mid, dense, sparse]).astype(bool)
+    counts = np.asarray(compress._planes_run_counts(
+        jnp.asarray(planes, jnp.uint8), 64))
+    # oracle counts from the host run extractor, and the intended routing
+    from binary_image_compression_tpu.models.codec import (_med,
+                                                           _medrle_runs)
+    for i in range(4):
+        res = _med(planes[i].astype(np.uint8))
+        assert counts[i] == len(_medrle_runs(planes[i], res))
+    assert counts[0] <= compress._eg_run_cap(n, 0)            # level 0
+    assert compress._eg_run_cap(n, 0) < counts[1] <= \
+        compress._eg_run_cap(n, 1)                            # level 1
+    assert counts[2] > compress._eg_run_cap(n, 1)             # native
+    a = compress.encode_planes_device(planes, assembly="device")
+    b = compress.encode_planes_device(planes, assembly="native")
+    assert a == b
+    for i, blob in enumerate(a):
+        np.testing.assert_array_equal(codec.decode(blob), planes[i])
+
+
 def test_decide_modes_kernel_matches_host_replay(rng):
     """The device mode-decision kernel (ops/pallas_decide) must replay the
     two adaptive Golomb contexts bit-identically to the host
