@@ -386,30 +386,37 @@ def main():
     # bitplane/PGM pipeline (BASELINE config #2): 8 planes batched through
     # the device MED + native EG runs, vs the host path (compiles
     # med_planes: keep the watchdog armed)
-    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
     gray = (np.cumsum(img, axis=1) * 7 % 256).astype(np.uint32)
     p10b = codec.CodecParams(codec=10, W=0, T=0, R=0)
-    gb = codec.encode_pgm(gray, 255, p10b, backend="tpu")   # warm/compile
-    g2, _ = codec.decode_pgm(gb)
-    assert (g2 == gray).all()
-    assert gb == codec.encode_pgm(gray, 255, p10b, backend="host")
-    signal.alarm(0)
-    t0 = time.time()
-    for _ in range(5):
-        codec.decode_pgm(codec.encode_pgm(gray, 255, p10b, backend="tpu"))
-    t_pgm = (time.time() - t0) / 5
-    result["pgm8_tpu_mps"] = round(8 * mp / t_pgm, 3)  # 8 coded bitplanes
-    result["pgm8_bytes"] = len(gb)
-    # full on-device payload assembly (adaptive-EG + pack_varlen as one jit;
-    # byte-identical, no native lib needed) — honest separate number
-    signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
-    gbd = codec.encode_pgm(gray, 255, p10b, backend="tpu-device-assembly")
-    signal.alarm(0)
-    assert gbd == gb
-    t0 = time.time()
-    codec.encode_pgm(gray, 255, p10b, backend="tpu-device-assembly")
-    result["pgm8_device_assembly_mps"] = round(
-        8 * mp / (time.time() - t0), 3)
+    try:
+        signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
+        gb = codec.encode_pgm(gray, 255, p10b, backend="tpu")  # warm
+        g2, _ = codec.decode_pgm(gb)
+        assert (g2 == gray).all()
+        assert gb == codec.encode_pgm(gray, 255, p10b, backend="host")
+        signal.alarm(0)
+        t0 = time.time()
+        for _ in range(5):
+            codec.decode_pgm(codec.encode_pgm(gray, 255, p10b,
+                                              backend="tpu"))
+        t_pgm = (time.time() - t0) / 5
+        result["pgm8_tpu_mps"] = round(8 * mp / t_pgm, 3)  # 8 planes
+        result["pgm8_bytes"] = len(gb)
+        # full on-device payload assembly (adaptive-EG + pack_varlen as one
+        # jit; byte-identical, no native lib needed) — honest separate
+        # number
+        signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET", "420")))
+        gbd = codec.encode_pgm(gray, 255, p10b,
+                               backend="tpu-device-assembly")
+        signal.alarm(0)
+        assert gbd == gb
+        t0 = time.time()
+        codec.encode_pgm(gray, 255, p10b, backend="tpu-device-assembly")
+        result["pgm8_device_assembly_mps"] = round(
+            8 * mp / (time.time() - t0), 3)
+    except _CompileTimeout:
+        result.setdefault("pgm8_tpu_mps", "skipped: compile stall")
+        result["pgm8_device_assembly_mps"] = "skipped: compile stall"
 
     # strict mode (residual substitution): the serial reference semantics
     # as one VMEM-resident Pallas kernel, vs the native host encoder
