@@ -26,7 +26,8 @@ import numpy as np
 
 def _add_codec_opts(p):
     p.add_argument("--codec", default="8",
-                   help="2/3 dict, 4/6/7/8 windowed, 10 med+rle, 11 bsvd, "
+                   help="1 full-prior-area, 2/3 dict, 4/6/7/8 windowed, "
+                        "10 med+rle, 11 bsvd, "
                         "12 cabic/arithmetic, 13 scab striped-arithmetic — "
                         "best ratio, parallel decode, TPU context stage "
                         "(default 8)")

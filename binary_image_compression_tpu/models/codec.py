@@ -4,7 +4,9 @@ Container format ``BIC1``:
 
     magic   4B  "BIC1"
     crc32   u32 of the raw packed image bytes (integrity check on decode)
-    codec   u8  (2/3 = dictionary codecs, 4/6/7/8 = windowed tile codecs,
+    codec   u8  (1 = full-prior-area tile codec (bounded decodable
+                 compress1), 2/3 = dictionary codecs, 4/6/7/8 = windowed
+                 tile codecs,
                  10 = full-image MED + adaptive run-length, 11 = learned
                  BSVD dictionary patch codec, 12 = context-adaptive binary
                  arithmetic coding)
@@ -85,6 +87,91 @@ def window_candidates(i0: int, j0: int, W: int, R: int,
             for x in range(maxj, minj - 1, -1):
                 out.append((y, x))
     return out
+
+
+def c1_candidate_count(i0: int, j0: int, W: int, cols: int) -> int:
+    """Candidate count for the decodable codec-1 geometry.
+
+    compress_test.cpp:81-111 made decodable (DEVIATIONS.md 5): the
+    reference's phase-A column scan runs j2 < cols, over-reading 64-bit
+    block padding and the NEXT raster row — positions a decoder cannot
+    reproduce (for candidates ending on row i0-1 the straddle reads the
+    row band being decoded).  The decodable variant bounds columns to the
+    fully in-bounds range [0, cols-W].  Enumeration is the reference's
+    ascending raster scan: phase A = all rows strictly above the tile band
+    × all in-bounds columns; phase B = rows (i0-W, i0] × columns
+    [0, j0-W] (empty for j0 < W, as in the reference)."""
+    wa = max(cols - W + 1, 0)
+    na = max(i0 - W + 1, 0)
+    wb = (j0 - W + 1) if j0 >= W else 0
+    nb = i0 - max(i0 - W + 1, 0) + 1      # rows [max(i0-W+1, 0), i0]
+    return na * wa + nb * wb
+
+
+def _c1_rank_to_pos(rank: int, i0: int, j0: int, W: int,
+                    cols: int) -> tuple[int, int]:
+    """Inverse of the codec-1 ascending enumeration (closed form — the
+    decoder never materializes candidate lists)."""
+    wa = max(cols - W + 1, 0)
+    na = max(i0 - W + 1, 0)
+    if rank < na * wa:
+        return rank // wa, rank % wa
+    r2 = rank - na * wa
+    wb = j0 - W + 1
+    y0 = max(i0 - W + 1, 0)
+    return y0 + r2 // wb, r2 % wb
+
+
+def _c1_tables(orig: np.ndarray, W: int):
+    """Per-image tables for the codec-1 full-prior-area search: windowed
+    pixel sums S (integral image) so distances decompose as
+    d = wP + S - 2·corr, with corr a BLAS matvec over a row-chunked
+    im2col (the full im2col at W=64 would be ~4 GB)."""
+    g = orig.astype(np.float32)
+    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), np.float32)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    S = (ii[W:, W:] - ii[:-W, W:] - ii[W:, :-W]
+         + ii[:-W, :-W]).astype(np.int32)
+    return orig, S
+
+
+def _c1_corr(orig: np.ndarray, Pv: np.ndarray, y0: int, y1: int,
+             x1: int, W: int) -> np.ndarray:
+    """corr[y, x] = <window(y, x), P> for y in [y0, y1), x in [0, x1),
+    computed in row chunks of ~64 MB im2col float32."""
+    out = np.empty((y1 - y0, x1), np.int32)
+    step = max(1, (64 << 20) // max(1, x1 * W * W * 4))
+    for ys in range(y0, y1, step):
+        ye = min(ys + step, y1)
+        sw = sliding_window_view(orig[ys:ye + W - 1], (W, W))[:, :x1]
+        blk = np.ascontiguousarray(sw, dtype=np.float32)
+        out[ys - y0:ye - y0] = (
+            blk.reshape(ye - ys, x1, W * W) @ Pv).astype(np.int32)
+    return out
+
+
+def _search_c1(orig, S, P, i0, j0, W, cols, M):
+    """First-strict-min over the codec-1 enumeration with the reference's
+    d == 0 early exit (compress_test.cpp ascending scan; same running-min
+    realization as _search_fast).  Returns (rank, bestd) or (None, M+1)."""
+    Pv = P.astype(np.float32).ravel()
+    wP = int(P.sum())
+    wa = max(cols - W + 1, 0)
+    na = max(i0 - W + 1, 0)
+    parts = []
+    if na > 0 and wa > 0:
+        C = _c1_corr(orig, Pv, 0, na, wa, W)
+        parts.append((wP + S[:na, :wa] - 2 * C).ravel())
+    if j0 >= W:
+        y0 = max(i0 - W + 1, 0)
+        C = _c1_corr(orig, Pv, y0, i0 + 1, j0 - W + 1, W)
+        parts.append((wP + S[y0:i0 + 1, :j0 - W + 1] - 2 * C).ravel())
+    if not parts:
+        return None, M + 1
+    dp = np.concatenate(parts)
+    stop = np.flatnonzero(np.minimum.accumulate(dp) <= 0)
+    r = int(stop[0]) if stop.size else int(np.argmin(dp))
+    return r, int(dp[r])
 
 
 def _med(P):
@@ -168,7 +255,7 @@ def _search_fast(work, P, cands, M, T, invert, W):
 # encode
 # ---------------------------------------------------------------------------
 
-VALID_CODECS = (2, 3, 4, 6, 7, 8, 10, 11, 12, 13)
+VALID_CODECS = (1, 2, 3, 4, 6, 7, 8, 10, 11, 12, 13)
 
 
 def encode(img: np.ndarray, params: CodecParams | None = None,
@@ -177,7 +264,7 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
     if params.codec not in VALID_CODECS:
         raise ValueError(f"unknown codec id {params.codec}; "
                          f"valid: {VALID_CODECS}")
-    if params.codec in (2, 3, 4, 6, 7, 8, 11) and not 1 <= params.W <= 64:
+    if params.codec in (1, 2, 3, 4, 6, 7, 8, 11) and not 1 <= params.W <= 64:
         # the native packed-row search holds one tile row per uint64
         # (native/bic_native.cpp PackedGrid::get_bits); W > 64 would smash
         # its stack and W = 0 divides by zero — reject at the API boundary
@@ -194,6 +281,11 @@ def encode(img: np.ndarray, params: CodecParams | None = None,
         return _encode_scab(img, params, **kwargs)
     if params.codec in (2, 3):
         return _encode_dict(img, params)
+    if params.codec == 1:
+        # compress1 searches the ORIGINAL image (compress_test.cpp uses I,
+        # never substitutes residuals) — there is no strict variant
+        import dataclasses
+        params = dataclasses.replace(params, strict=False)
     return _encode_windowed(img, params)
 
 
@@ -215,6 +307,8 @@ def _encode_windowed(img, params, use_native: bool = True) -> bytes:
     W, R = params.W, params.R
     T = params.resolved_T()
     codec = params.codec
+    if codec == 1:
+        use_native = False      # the native encoder knows only 4/6/7/8
     if use_native:
         from .. import native
         hdr = _header(params, *img.shape, image_crc(img))
@@ -231,6 +325,8 @@ def _encode_windowed(img, params, use_native: bool = True) -> bytes:
     work[:rows, :cols] = img
     orig = work.copy()
     ref_img = work if params.strict else orig
+    if codec == 1:
+        c1_orig, c1_S = _c1_tables(orig, W)
 
     w = BitWriter()
     hdr = _header(params, rows, cols, image_crc(img))
@@ -241,14 +337,22 @@ def _encode_windowed(img, params, use_native: bool = True) -> bytes:
         for tj in range(nx):
             i0, j0 = ti * W, tj * W
             P = (work if params.strict else orig)[i0:i0 + W, j0:j0 + W].copy()
-            cands = window_candidates(i0, j0, W, R, rows, cols)
-            rank, bestd, inv = _search_fast(ref_img, P, cands, M, T, invert, W)
-            idx_len = max(1, (len(cands) - 1).bit_length()) if cands else 0
+            if codec == 1:
+                rank, bestd = _search_c1(c1_orig, c1_S, P, i0, j0, W, cols, M)
+                inv = False
+                n_cands = c1_candidate_count(i0, j0, W, cols)
+            else:
+                cands = window_candidates(i0, j0, W, R, rows, cols)
+                rank, bestd, inv = _search_fast(ref_img, P, cands, M, T,
+                                                invert, W)
+                n_cands = len(cands)
+            idx_len = max(1, (n_cands - 1).bit_length()) if n_cands else 0
 
             # candidate residuals/costs for the 4 modes
             options = []
             if rank is not None:
-                y, x = cands[rank]
+                y, x = (_c1_rank_to_pos(rank, i0, j0, W, cols)
+                        if codec == 1 else cands[rank])
                 P2 = ref_img[y:y + W, x:x + W]
                 Pm = (1 - P) if inv else P
                 P3 = Pm ^ P2
@@ -363,8 +467,12 @@ def _decode_windowed(r, codec, W, rows, cols, T, R, strict):
             pred = r.read_bits(1) if use_pred else 0
             if match:
                 inv = r.read_bits(1) if invert else 0
-                cands = window_candidates(i0, j0, W, R, rows, cols)
-                idx_len = max(1, (len(cands) - 1).bit_length()) if cands else 0
+                if codec == 1:
+                    n_cands = c1_candidate_count(i0, j0, W, cols)
+                else:
+                    cands = window_candidates(i0, j0, W, R, rows, cols)
+                    n_cands = len(cands)
+                idx_len = max(1, (n_cands - 1).bit_length()) if n_cands else 0
                 rank = r.read_bits(idx_len)
                 wt = golomb_decode(r, gm.k)
                 gm.code_sample(wt)
@@ -375,7 +483,8 @@ def _decode_windowed(r, codec, W, rows, cols, T, R, strict):
             res = enum_decode(r, M, wt).reshape(W, W).astype(np.uint8)
             # reconstruct P
             if match:
-                y, x = cands[rank]
+                y, x = (_c1_rank_to_pos(rank, i0, j0, W, cols)
+                        if codec == 1 else cands[rank])
                 P2 = ref_img[y:y + W, x:x + W]
                 P3 = _unmed(res.astype(bool)).astype(np.uint8) if pred else res
                 Pm = P3 ^ P2

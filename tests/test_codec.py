@@ -34,6 +34,60 @@ def test_roundtrip_causal_mode(cid):
     np.testing.assert_array_equal(codec.decode(blob), img)
 
 
+@pytest.mark.parametrize("image,W", [("text64.pbm", 8),
+                                     ("ragged75x101.pbm", 16)])
+def test_codec1_roundtrip(image, W):
+    """Decodable codec 1 (bounded full-prior-area compress1 geometry,
+    compress_test.cpp:81-111; DEVIATIONS.md 5 explains why the reference's
+    own over-scanning enumeration is undecodable)."""
+    img = load(image)
+    blob = codec.encode(img, codec.CodecParams(codec=1, W=W))
+    np.testing.assert_array_equal(codec.decode(blob), img)
+    # the header must record causal mode regardless of the strict flag:
+    # compress1 never substitutes residuals
+    blob2 = codec.encode(img, codec.CodecParams(codec=1, W=W, strict=True))
+    assert blob2 == blob and not (blob[9] & 1)
+
+
+def test_codec1_search_matches_enumerated_oracle(rng):
+    """_search_c1's closed-form rank arithmetic against a brute-force list
+    enumeration of the same ascending scan (first strict min, d == 0 exit)."""
+    W, M = 8, 64
+    rows = cols = 40
+    img = (rng.rand(rows, cols) < 0.3).astype(np.uint8)
+    o1, S = codec._c1_tables(img, W)
+    for i0, j0 in [(0, 0), (0, 16), (16, 0), (16, 16), (32, 24), (8, 8)]:
+        cands = []
+        for y in range(0, max(i0 - W + 1, 0)):
+            for x in range(cols - W + 1):
+                cands.append((y, x))
+        if j0 >= W:
+            for y in range(max(i0 - W + 1, 0), i0 + 1):
+                for x in range(j0 - W + 1):
+                    cands.append((y, x))
+        assert codec.c1_candidate_count(i0, j0, W, cols) == len(cands)
+        P = img[i0:i0 + W, j0:j0 + W].copy()
+        r1, d1 = codec._search_c1(o1, S, P, i0, j0, W, cols, M)
+        r2, d2, _ = codec._search(img, P, cands, M, 0, False)
+        assert (r1, d1) == ((r2, d2) if r2 is not None else (None, M + 1))
+        if r1 is not None:
+            assert codec._c1_rank_to_pos(r1, i0, j0, W, cols) == cands[r1]
+
+
+def test_codec1_full_area_beats_windowed_on_distant_repeats():
+    """codec 1's unbounded search must find a repeat that codec 4's radius
+    cannot reach (the geometry is really full-prior-area)."""
+    rng = np.random.RandomState(11)
+    img = np.zeros((96, 96), dtype=bool)
+    stamp = rng.rand(8, 8) < 0.5
+    img[0:8, 0:8] = stamp
+    img[88:96, 88:96] = stamp          # repeat far outside any R=8 window
+    b1 = len(codec.encode(img, codec.CodecParams(codec=1, W=8)))
+    b4 = len(codec.encode(img, codec.CodecParams(codec=4, W=8, R=8,
+                                                 strict=False)))
+    assert b1 < b4
+
+
 def test_roundtrip_degenerate_images():
     for img in (np.zeros((32, 32), bool), np.ones((32, 32), bool),
                 np.zeros((8, 8), bool)):

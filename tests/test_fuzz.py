@@ -30,6 +30,19 @@ def test_fuzz_roundtrip(rows, cols, dens, W, R, cid, strict):
     np.testing.assert_array_equal(codec.decode(blob, use_native=False), img)
 
 
+def test_fuzz_codec1_roundtrip():
+    """codec 1 (full-prior-area search) on small shapes — its search is
+    O(rows*cols*W^2) per tile by construction, like the reference's."""
+    rng = np.random.RandomState(31)
+    for _ in range(6):
+        rows = int(rng.randint(1, 50))
+        cols = int(rng.randint(1, 50))
+        W = int(rng.choice([4, 8, 16]))
+        img = rng.rand(rows, cols) < float(rng.choice([0.05, 0.5, 0.95]))
+        blob = codec.encode(img, codec.CodecParams(codec=1, W=W))
+        np.testing.assert_array_equal(codec.decode(blob), img)
+
+
 def test_fuzz_structured_images():
     rng = np.random.RandomState(5)
     for _ in range(4):
