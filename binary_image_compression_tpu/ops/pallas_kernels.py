@@ -480,13 +480,26 @@ def plan_groups(nx: int, W: int, R: int, We: int, wh: int,
 
     if g_env:
         return min(g_env, nx), mk(min(g_env, nx))
+    # Among VMEM-fitting choices with at most 32 op streams per tile row
+    # (compile-time guard for wide grids), pick minimum total lane ops,
+    # tie-broken toward the SMALLEST G: the 128-aligned spans make the op
+    # totals identical for G <= 8 at production shapes, and the on-chip
+    # A/B (round 4, 512^2/W16/R128, min-of-3 differential) measured G=1 at
+    # 1.12-1.21 ms/page vs 1.21-1.32 for G=4 — the smaller live [G, wh,
+    # span] temporaries pipeline better under Mosaic than fewer, fatter
+    # streams.
+    cands = []
     for G in (16, 8, 4, 2, 1):
-        G = min(G, nx)
-        groups = mk(G)
+        Gq = min(G, nx)
+        groups = mk(Gq)
         mx = max(sp for _, _, _, sp in groups)
-        if 6 * G * wh * mx * 4 <= 12 * 2 ** 20 or G == 1:
-            return G, groups
-    return 1, mk(1)
+        tot = sum(Gs * sp for _, Gs, _, sp in groups)
+        fits = 6 * Gq * wh * mx * 4 <= 12 * 2 ** 20
+        cands.append((Gq, groups, tot, fits, len(groups)))
+    ok = ([c for c in cands if c[3] and c[4] <= 32]
+          or [c for c in cands if c[3]] or [cands[-1]])
+    best = min(ok, key=lambda c: (c[2], c[0]))
+    return best[0], best[1]
 
 
 def fused_supported(ny: int, nx: int, W: int, R: int) -> bool:
