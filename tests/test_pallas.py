@@ -133,6 +133,26 @@ def test_fused_supported_wide_grids_and_layout():
     assert pk.packed_sel_layout(16, 8, 512) is None
 
 
+def test_plan_groups_op_count_planner():
+    """Round-4 planner: minimum total lane ops, tie-broken toward the
+    smallest G (on-chip A/B: smaller live temporaries pipeline better),
+    with a 32-streams-per-row compile-time cap for wide grids."""
+    wh = 129
+    for nx, want_g, max_streams in ((32, 1, 32), (64, 2, 32),
+                                    (128, 4, 32), (1, 1, 1)):
+        G, groups = pk.plan_groups(nx, 16, 128, nx * 16, wh)
+        assert G == want_g, (nx, G)
+        assert len(groups) <= max_streams
+    # within the streams cap, the planner never picks a choice with MORE
+    # total ops than per-tile chunking (G=1)
+    for nx in (5, 17, 32):
+        G, groups = pk.plan_groups(nx, 16, 128, nx * 16, wh)
+        tot = sum(gs * sp for _, gs, _, sp in groups)
+        g1 = sum(gs * sp for _, gs, _, sp in pk.plan_groups(
+            nx, 16, 128, nx * 16, wh, 1)[1])
+        assert tot <= g1
+
+
 def test_plan_groups_cover_windows():
     """Every tile's search window columns lie inside its group's static
     band chunk, and chunk offsets are 128-aligned."""
