@@ -127,8 +127,10 @@ def _c1_tables(orig: np.ndarray, W: int):
     pixel sums S (integral image) so distances decompose as
     d = wP + S - 2·corr, with corr a BLAS matvec over a row-chunked
     im2col (the full im2col at W=64 would be ~4 GB)."""
-    g = orig.astype(np.float32)
-    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), np.float32)
+    # int64 accumulation: float32 cumsum loses integer exactness past 2^24
+    # cumulative set pixels, which large dense pages can reach
+    g = orig.astype(np.int64)
+    ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), np.int64)
     np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
     S = (ii[W:, W:] - ii[:-W, W:] - ii[W:, :-W]
          + ii[:-W, :-W]).astype(np.int32)
@@ -424,7 +426,10 @@ def decode(blob: bytes, *, use_native: bool = True,
         # the Python fallback decoders allocate O(rows*cols) byte buffers;
         # a corrupt header must not be an allocation bomb
         raise ValueError(f"implausible dimensions {rows}x{cols}")
-    if codec in (2, 3, 4, 6, 7, 8, 11) and not 1 <= W <= 64:
+    if codec in (1, 2, 3, 4, 6, 7, 8, 11) and not 1 <= W <= 64:
+        # W=0 divides by zero in _decode_windowed and a huge W sizes
+        # multi-GB work buffers from an untrusted header — same bound the
+        # encode side enforces
         raise ValueError(f"corrupt BIC1 header: W={W} out of range [1, 64] "
                          f"for codec {codec}")
     out = None
@@ -474,6 +479,12 @@ def _decode_windowed(r, codec, W, rows, cols, T, R, strict):
                     n_cands = len(cands)
                 idx_len = max(1, (n_cands - 1).bit_length()) if n_cands else 0
                 rank = r.read_bits(idx_len)
+                if rank >= n_cands:
+                    # corrupt stream: the rank would index past the candidate
+                    # enumeration (for codec 1 this would otherwise reach the
+                    # phase-B arithmetic with wb <= 0 -> ZeroDivisionError)
+                    raise ValueError("corrupt stream: candidate rank "
+                                     f"{rank} >= {n_cands}")
                 wt = golomb_decode(r, gm.k)
                 gm.code_sample(wt)
             else:

@@ -460,10 +460,16 @@ def plan_groups(nx: int, W: int, R: int, We: int, wh: int,
     on wider pages) that the round-3 kernel paid because per-TILE dynamic
     lane offsets are not expressible.
 
-    G is the largest of (16, 8, 4, 2, 1) whose ~6 live [G, wh, span] int32
-    temporaries fit a 12 MB VMEM budget.  g_env (BIC_FUSED_GROUP) overrides
-    — read at TRACE time: changing the env var after the jit cache is warm
-    has no effect (re-run the process for A/B sweeps)."""
+    G is chosen, among candidates in (16, 8, 4, 2, 1) whose ~6 live
+    [G, wh, span] int32 temporaries fit a 12 MB VMEM budget AND that emit at
+    most 32 op streams per tile row (compile-time guard for wide grids), by
+    MINIMUM TOTAL LANE OPS, tie-broken toward the SMALLEST G — the
+    128-aligned spans make op totals identical for G <= 8 at production
+    shapes, and the smaller live temporaries pipeline better (round-4
+    on-chip A/B: G=1 at 1.12-1.21 ms/page vs G=4 at 1.21-1.32).  g_env
+    (BIC_FUSED_GROUP) overrides — read at TRACE time: changing the env var
+    after the jit cache is warm has no effect (re-run the process for A/B
+    sweeps)."""
     def r128(v):
         return -(-v // 128) * 128
 

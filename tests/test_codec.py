@@ -164,6 +164,33 @@ def test_match_cost_uses_actual_header_bits():
         assert blob == py
 
 
+def test_codec1_decode_rejects_corrupt_header_and_rank():
+    """ADVICE r4: codec 1 must share the decode-side W guard (W=0 divided
+    by zero; huge W was an allocation bomb), and a decoded candidate rank
+    past the closed-form candidate count must raise a clean corrupt-stream
+    ValueError instead of ZeroDivisionError in _c1_rank_to_pos."""
+    import struct
+    from binary_image_compression_tpu.ops.bitstream import BitWriter
+    img = load("text64.pbm")
+    blob = codec.encode(img, codec.CodecParams(codec=1, W=8, R=0))
+    np.testing.assert_array_equal(codec.decode(blob), img)
+    for val in (struct.pack("<H", 0), struct.pack("<H", 65535)):
+        bad = bytearray(blob)
+        bad[10:12] = val
+        with pytest.raises(ValueError):
+            codec.decode(bytes(bad))
+    # hand-crafted stream: tile (0,0) has ZERO codec-1 candidates, so a
+    # match record there implies rank >= n_cands immediately
+    p = codec.CodecParams(codec=1, W=8, R=0, strict=False)
+    w = BitWriter()
+    hdr = codec._header(p, 32, 32, 0)
+    w.write_bits(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    w.write_bits(1, 1)          # match at tile (0,0): impossible
+    w.write_bits(0, 31)         # padding so reads don't run dry first
+    with pytest.raises(ValueError, match="corrupt|integrity"):
+        codec.decode(w.getvalue(), verify_crc=False)
+
+
 def test_corruption_detected_by_crc():
     img = load("text64.pbm")
     blob = bytearray(codec.encode(img, codec.CodecParams(codec=8, W=8, R=32)))
