@@ -1073,6 +1073,8 @@ def _encode_scab(img, params, ctx_pre=None) -> bytes:
 
 
 def _decode_scab(body: bytes, rows: int, cols: int) -> np.ndarray:
+    if len(body) >= 2 and body[1] == 2:      # mode 2: static-table rANS
+        return _decode_scab_rans(body, rows, cols)
     from .. import native
     out = native.scab_decode(body, rows, cols)
     if out is not None:
@@ -1102,6 +1104,99 @@ def _decode_scab(body: bytes, rows: int, cols: int) -> np.ndarray:
                 prob[ctx], cnt[ctx] = scab_model_update(
                     prob[ctx], cnt[ctx], bit, ramp=bool(ramp))
                 u8[r, c] = bit
+    return u8.astype(bool)
+
+
+def _decode_scab_rans(body: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode the mode-2 (device-assembled static-table interleaved-rANS)
+    codec-13 payload — see compress._encode_scab_device for the layout and
+    ops/ransdevice for the coder maths.  Native C++ fast path
+    (bic_scab_rans_decode) with this Python twin as the oracle/fallback.
+    Decode is serial per stripe by construction (contexts come from
+    already-decoded pixels); stripes decode in parallel host threads via
+    the native path."""
+    from .. import native
+    out = native.scab_rans_decode(body, rows, cols)
+    if out is not None:
+        return out
+    from ..ops.bitstream import golomb_decode
+    from ..ops.ransdevice import CODE_BITS, LOGIT64, PSCALE
+    if len(body) < 16:
+        raise ValueError("truncated codec-13 mode-2 payload")
+    tmpl, mode, n_stripes, stripe_rows = struct.unpack("<BBHi", body[:8])
+    n_lanes, q_def, n_tr = struct.unpack("<BBH", body[8:12])
+    bm_mode, rice_k, bm_len = struct.unpack("<BBH", body[12:16])
+    if tmpl not in (10, 12) or mode != 2 or n_stripes < 1 \
+            or stripe_rows < 1 or n_lanes < 1 or q_def > 63 \
+            or n_tr > PSCALE or bm_mode > 1 or rice_k > 12 \
+            or (n_stripes - 1) * stripe_rows >= rows \
+            or n_stripes * stripe_rows < rows:
+        raise ValueError("corrupt codec-13 mode-2 payload header")
+    off = 16
+    if len(body) < off + bm_len:
+        raise ValueError("truncated codec-13 mode-2 bitmap")
+    if bm_mode == 0:
+        if bm_len != 512:
+            raise ValueError("corrupt codec-13 mode-2 bitmap")
+        transmit = np.unpackbits(
+            np.frombuffer(body[off:off + 512], np.uint8)).astype(bool)
+        ids = np.flatnonzero(transmit)
+    else:
+        br = BitReader(body[off:off + bm_len])
+        ids = np.empty(n_tr, np.int64)
+        prev = -1
+        try:
+            for i in range(n_tr):
+                prev = prev + 1 + golomb_decode(br, rice_k)
+                ids[i] = prev
+        except IndexError:
+            raise ValueError("corrupt codec-13 mode-2 bitmap") from None
+        if n_tr and ids[-1] >= PSCALE:
+            raise ValueError("corrupt codec-13 mode-2 bitmap")
+    off += bm_len
+    code_bytes = (n_tr * CODE_BITS + 7) // 8
+    if len(ids) != n_tr or len(body) < off + code_bytes:
+        raise ValueError("corrupt codec-13 mode-2 table")
+    rd = BitReader(body[off:off + code_bytes])
+    table = np.full(PSCALE, LOGIT64[q_def], np.uint32)
+    for c in ids:
+        table[c] = LOGIT64[rd.read_bits(CODE_BITS)]
+    off += code_bytes
+    if len(body) < off + 4 * n_stripes:
+        raise ValueError("truncated codec-13 mode-2 payload")
+    lens = struct.unpack(f"<{n_stripes}I", body[off:off + 4 * n_stripes])
+    off += 4 * n_stripes
+    u8 = np.zeros((rows, cols), np.uint8)
+    for s in range(n_stripes):
+        blob = body[off:off + lens[s]]
+        off += lens[s]
+        if len(blob) < 4 * n_lanes:
+            raise ValueError("truncated codec-13 mode-2 stripe")
+        states = np.frombuffer(blob[:4 * n_lanes], "<u4").copy()
+        stream = blob[4 * n_lanes:]
+        pos = 0
+        top = s * stripe_rows
+        bot = min(rows, top + stripe_rows)
+        t = 0
+        for r in range(top, bot):
+            for c in range(cols):
+                lane = t % n_lanes
+                x = int(states[lane])
+                ctx = _scab_ctx(u8, r, c, top, cols, tmpl)
+                p1 = int(table[ctx])
+                f0 = PSCALE - p1
+                slot = x & (PSCALE - 1)
+                bit = 1 if slot >= f0 else 0
+                f, b = (p1, f0) if bit else (f0, 0)
+                x = f * (x >> 12) + slot - b
+                if x < (1 << 16):
+                    if pos + 1 >= len(stream):
+                        raise ValueError("corrupt codec-13 mode-2 stream")
+                    x = (x << 16) | (stream[pos] << 8) | stream[pos + 1]
+                    pos += 2
+                states[lane] = x
+                u8[r, c] = bit
+                t += 1
     return u8.astype(bool)
 
 

@@ -609,11 +609,25 @@ def scab_ctx_map(img_bits, *, tmpl: int, stripe_rows: int):
     return ctx
 
 
-def encode_scab(img: np.ndarray, params: CodecParams | None = None) -> bytes:
-    """TPU-path codec-13 encode: the per-pixel context template runs on
-    device for the whole page in one jit (scab_ctx_map); the host does only
-    the serial range-coder update per pixel, stripes across threads.
-    Byte-identical to codec.encode(codec=13) (tests/test_codec.py)."""
+def encode_scab(img: np.ndarray, params: CodecParams | None = None, *,
+                entropy: str = "host") -> bytes:
+    """TPU-path codec-13 encode.
+
+    entropy="host" (default): the per-pixel context template runs on device
+    for the whole page in one jit (scab_ctx_map); the host does only the
+    serial adaptive range-coder update per pixel, stripes across threads.
+    Byte-identical to codec.encode(codec=13) (tests/test_codec.py).
+
+    entropy="device": the ENTIRE payload assembles on device (payload mode
+    2) — context map, per-context counts, quantized static probability
+    table, and N interleaved rANS lanes per stripe coded by one lax.scan
+    with the word streams packed by the parallel-prefix pack_varlen
+    (ops/ransdevice, VERDICT r4 item 1).  A different (documented) payload
+    format from the host coder: static semi-adaptive model instead of
+    per-bit adaptation, ~5-10% larger streams, but the serial chain drops
+    from stripe_pixels to stripe_pixels / n_lanes and the coder itself
+    rides the VPU.  Decoded by the same codec.decode entry point (native
+    bic_scab_rans_decode or the Python twin)."""
     from .codec import CodecParams as CP
     from .codec import _encode_scab, scab_defaults
     params = params or CP(codec=13, W=0, T=0, R=0)
@@ -622,9 +636,89 @@ def encode_scab(img: np.ndarray, params: CodecParams | None = None) -> bytes:
     rows, cols = img.shape
     tmpl, n_stripes = scab_defaults(params, rows)
     stripe_rows = -(-rows // n_stripes)
+    if entropy == "device":
+        return _encode_scab_device(img, params, tmpl, n_stripes,
+                                   stripe_rows)
     ctx = np.asarray(jax.device_get(scab_ctx_map(
         jnp.asarray(img, jnp.uint8), tmpl=tmpl, stripe_rows=stripe_rows)))
     return _encode_scab(img, params, ctx_pre=ctx)
+
+
+@partial(jax.jit, static_argnames=("tmpl", "n_stripes", "stripe_rows",
+                                   "n_lanes"))
+def scab_rans_page(img_u8, *, tmpl: int, n_stripes: int, stripe_rows: int,
+                   n_lanes: int):
+    """Context map + full mode-2 rANS payload assembly as ONE jit."""
+    from ..ops import ransdevice
+    ctx = scab_ctx_map(img_u8, tmpl=tmpl, stripe_rows=stripe_rows)
+    return ransdevice.rans_page_encode(img_u8, ctx, n_stripes=n_stripes,
+                                       stripe_rows=stripe_rows,
+                                       n_lanes=n_lanes)
+
+
+def _encode_scab_device(img, params, tmpl, n_stripes, stripe_rows,
+                        n_lanes: int | None = None) -> bytes:
+    """Serialize the device-assembled mode-2 payload (host does byte
+    concatenation only).  Body layout (after the BIC1 header):
+
+      u8 tmpl | u8 mode=2 | u16 n_stripes | i32 stripe_rows     (as mode 0/1)
+      u8 n_lanes | u8 q_default | u16 n_transmit
+      u8 bitmap_mode (0 raw / 1 Rice gaps) | u8 rice_k | u16 bitmap_bytes
+      bitmap section: raw 512 B mask, or Rice(k) codes of the gaps
+        between transmitted context ids (g0 = id0, gi = id_i - id_{i-1} - 1)
+      ceil(n_transmit * 6 / 8) B probability codes (MSB-first)
+      u32 stripe_byte_len[n_stripes]
+      per stripe: n_lanes x u32 LE initial decoder states,
+                  then the u16 big-endian rANS word stream
+    """
+    import struct
+    from ..ops import ransdevice
+    from ..ops.bitstream import (BitWriter, golomb_encode, words_to_bytes)
+    rows, cols = img.shape
+    n_lanes = n_lanes or ransdevice.N_LANES_DEFAULT
+    out = scab_rans_page(jnp.asarray(img, jnp.uint8), tmpl=tmpl,
+                         n_stripes=n_stripes, stripe_rows=stripe_rows,
+                         n_lanes=n_lanes)
+    transmit, q_def, states, bits, tab_words, tab_bits, n_tr = \
+        jax.device_get((out["transmit"], out["q_default"], out["states"],
+                        out["bits"], out["tab_words"], out["tab_bits"],
+                        out["n_transmit"]))
+    # bitmap serialization: raw 512 B vs Rice-coded id gaps, pick smaller
+    ids = np.flatnonzero(np.asarray(transmit, bool))
+    gaps = np.diff(np.concatenate([[-1], ids])) - 1
+    best_k, best_bits = 0, None
+    for k in range(13):
+        nb = int(sum(k + (int(g) >> k) + 1 for g in gaps))
+        if best_bits is None or nb < best_bits:
+            best_k, best_bits = k, nb
+    rice_bytes = -(-(best_bits or 0) // 8)
+    if ids.size and rice_bytes < 512:
+        bm_mode, rice_k = 1, best_k
+        bw = BitWriter()
+        for g in gaps:
+            golomb_encode(bw, int(g), rice_k)
+        bm_bytes = bw.getvalue()
+    else:
+        bm_mode, rice_k = 0, 0
+        bm_bytes = np.packbits(np.asarray(transmit, bool)).tobytes()
+    body = bytearray()
+    body += struct.pack("<BBHi", tmpl, 2, n_stripes, stripe_rows)
+    body += struct.pack("<BBH", n_lanes, int(q_def), int(n_tr))
+    body += struct.pack("<BBH", bm_mode, rice_k, len(bm_bytes))
+    body += bm_bytes
+    body += words_to_bytes(tab_words, int(tab_bits))
+    stream_bytes = []
+    for s in range(n_stripes):
+        nw = -(-int(bits[s]) // 32)     # fetch only the live words
+        sw = np.asarray(jax.device_get(out["words"][s, :nw]))
+        stream_bytes.append(np.asarray(states[s], "<u4").tobytes()
+                            + words_to_bytes(sw, int(bits[s])))
+    for sb in stream_bytes:
+        body += struct.pack("<I", len(sb))
+    for sb in stream_bytes:
+        body += sb
+    hdr = _header(params, rows, cols, image_crc(img))
+    return hdr + bytes(body)
 
 
 # ---------------------------------------------------------------------------

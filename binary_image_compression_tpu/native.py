@@ -108,6 +108,13 @@ def _declare(lib):
     lib.bic_scab_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
+    try:
+        lib.bic_scab_rans_decode.restype = ctypes.c_int
+        lib.bic_scab_rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:      # stale BIC_NATIVE_LIB override
+        pass
     lib.bic_enum_roundtrip.restype = ctypes.c_long
     lib.bic_enum_roundtrip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -256,6 +263,21 @@ def scab_decode(body: bytes, rows: int, cols: int) -> np.ndarray | None:
     out = np.zeros(rows * cols, dtype=np.uint8)
     rc = lib.bic_scab_decode(body, len(body), rows, cols,
                              _p(out, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return out.reshape(rows, cols).astype(bool)
+
+
+def scab_rans_decode(body: bytes, rows: int, cols: int
+                     ) -> np.ndarray | None:
+    """Decode the codec-13 mode-2 (static-table interleaved rANS) payload;
+    None if the native lib is unavailable (Python twin takes over)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bic_scab_rans_decode"):
+        return None
+    out = np.zeros(rows * cols, dtype=np.uint8)
+    rc = lib.bic_scab_rans_decode(body, len(body), rows, cols,
+                                  _p(out, ctypes.c_uint8))
     if rc != 0:
         return None
     return out.reshape(rows, cols).astype(bool)

@@ -54,6 +54,11 @@ V5E = dict(
     # ICI: one-way per-link bandwidth ~45 GB/s (scaling-book figure); a
     # ring on one mesh axis streams through one link per direction.
     ici_bytes_per_s=4.5e10,
+    # DCN: per-host data-center network, ~25 GB/s effective (scaling-book
+    # multi-pod figure).  A collective whose replica group spans hosts is
+    # bottlenecked by its DCN hops — its ring bytes are charged at this
+    # bandwidth instead of ICI's.
+    dcn_bytes_per_s=2.5e10,
 )
 
 _DTYPE_BYTES = {
@@ -81,8 +86,50 @@ def _shape_bytes(text: str) -> int:
     return total
 
 
-def collective_traffic(hlo_text: str, n_devices: int) -> dict:
+_GROUPS_ALL_RE = re.compile(r"replica_groups=\{((?:\{[0-9,]+\},?)+)\}")
+_SRCTGT_RE = re.compile(r"source_target_pairs=\{((?:\{\d+,\d+\},?)+)\}")
+
+
+def _groups_members(line: str):
+    """Full replica-group member lists from an HLO collective line, or
+    None when only the [n,g] iota form is present."""
+    gb = _GROUPS_ALL_RE.search(line)
+    if not gb:
+        return None
+    return [[int(x) for x in grp.split(",") if x]
+            for grp in gb.group(1).strip("{}").split("},{")]
+
+
+def _crosses_hosts(line: str, devices_per_host: int) -> bool:
+    """Whether any replica group (or permute pair) spans a host boundary,
+    with devices numbered host-major (device d lives on d // per_host)."""
+    if devices_per_host <= 0:
+        return False
+    sp = _SRCTGT_RE.search(line)
+    if sp:
+        for pair in sp.group(1).strip("{}").split("},{"):
+            a, b = (int(x) for x in pair.split(","))
+            if a // devices_per_host != b // devices_per_host:
+                return True
+        return False
+    groups = _groups_members(line)
+    if groups is None:
+        return True  # iota form over all devices: conservatively DCN
+    for grp in groups:
+        hosts = {m // devices_per_host for m in grp}
+        if len(hosts) > 1:
+            return True
+    return False
+
+
+def collective_traffic(hlo_text: str, n_devices: int,
+                       devices_per_host: int = 0) -> dict:
     """Per-device ICI bytes by collective kind, ring-algorithm model.
+
+    devices_per_host > 0 enables the DCN split (VERDICT r4 item 6): a
+    collective whose replica group spans hosts is bottlenecked by its DCN
+    hops, so its ring bytes land in ``dcn_total`` (charged at the DCN
+    bandwidth by DevCost.model_seconds) instead of the ICI total.
 
     For result bytes S and replica-group size g:
       all-gather       S (gathered shape) -> each device moves S*(g-1)/g
@@ -92,7 +139,8 @@ def collective_traffic(hlo_text: str, n_devices: int) -> dict:
       all-to-all       S                  -> S*(g-1)/g
     """
     out = {"all-reduce": 0.0, "all-gather": 0.0, "reduce-scatter": 0.0,
-           "collective-permute": 0.0, "all-to-all": 0.0, "count": 0}
+           "collective-permute": 0.0, "all-to-all": 0.0, "count": 0,
+           "dcn_total": 0.0}
     for line in hlo_text.splitlines():
         m = _COLL_RE.search(line)
         if not m or f"{m.group(2)}-done(" in line:
@@ -116,7 +164,10 @@ def collective_traffic(hlo_text: str, n_devices: int) -> dict:
             moved = float(S)
         else:  # all-to-all
             moved = S * (g - 1) / g
-        out[kind] += moved
+        if devices_per_host and _crosses_hosts(line, devices_per_host):
+            out["dcn_total"] += moved
+        else:
+            out[kind] += moved
         out["count"] += 1
     out["total"] = sum(out[k] for k in
                        ("all-reduce", "all-gather", "reduce-scatter",
@@ -132,23 +183,32 @@ class DevCost:
     bytes_accessed: float
     ici_bytes: float
     collectives: dict
+    dcn_bytes: float = 0.0
 
-    def model_seconds(self, hw=V5E) -> float:
-        compute = max(self.flops / hw["flops_per_s"],
-                      self.bytes_accessed / hw["hbm_bytes_per_s"])
-        return compute + self.ici_bytes / hw["ici_bytes_per_s"]
+    def model_seconds(self, hw=V5E, work_scale: float = 1.0) -> float:
+        """work_scale multiplies the counted compute (flops AND bytes) —
+        the sensitivity knob for the lax.while caveat (bodies are counted
+        once by XLA's static model; scaling them up shows whether the
+        efficiency conclusion survives the undercount, VERDICT r4 item 8)."""
+        compute = max(self.flops * work_scale / hw["flops_per_s"],
+                      self.bytes_accessed * work_scale
+                      / hw["hbm_bytes_per_s"])
+        return (compute + self.ici_bytes / hw["ici_bytes_per_s"]
+                + self.dcn_bytes / hw["dcn_bytes_per_s"])
 
 
-def compiled_cost(jitted, args, n_devices: int) -> DevCost:
+def compiled_cost(jitted, args, n_devices: int,
+                  devices_per_host: int = 0) -> DevCost:
     """Lower + compile a jitted fn and count its per-device work + comm."""
     comp = jitted.lower(*args).compile()
     ca = comp.cost_analysis()
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
-    coll = collective_traffic(comp.as_text(), n_devices)
+    coll = collective_traffic(comp.as_text(), n_devices, devices_per_host)
     return DevCost(n_devices=n_devices, flops=float(ca.get("flops", 0.0)),
                    bytes_accessed=float(ca.get("bytes accessed", 0.0)),
-                   ici_bytes=float(coll["total"]), collectives=coll)
+                   ici_bytes=float(coll["total"]), collectives=coll,
+                   dcn_bytes=float(coll["dcn_total"]))
 
 
 # ---------------------------------------------------------------------------
@@ -193,20 +253,64 @@ def case_bsvd(n: int, *, samples_per_dev: int = 1024, W: int = 16,
     return step, (E, D, A)
 
 
+def case_corpus_merge(n: int, *, hosts: int = 1, rows: int = 512,
+                      cols: int = 512, W: int = 16, R: int = 128):
+    """Page-sharded corpus encode + device bit-offset merge on a
+    (hosts, data) mesh — the multi-host BASELINE config (#5) as a compiled
+    program (VERDICT r4 item 6).
+
+    One page per device (weak scaling over hosts, data width fixed); the
+    only cross-device dependence is the exclusive bitstream-offset scan
+    (parallel/bitmerge.exclusive_offsets): an all_gather of per-device bit
+    counts over BOTH axes, whose replica group spans hosts — exactly the
+    [pages]-vector DCN gather the real driver does
+    (multihost.encode_corpus_sharded + merge_host_offsets)."""
+    import numpy as _np
+    from jax import shard_map
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from ..models import compress
+    data = n // hosts
+    devs = _np.array(jax.devices()[:n]).reshape(hosts, data)
+    m = Mesh(devs, ("hosts", "data"))
+
+    def body(batch):        # [1, rows, cols] local page
+        o = jax.vmap(lambda im: compress.encode_analyze(
+            im, W=W, R=R, T_thresh=2, rows=rows, cols=cols))(batch)
+        # per-device payload bits (residual weight total is proportional to
+        # the enumerative payload; the collective structure is what the
+        # model counts)
+        nbits = o["weights4"].min(axis=-1).sum().astype(jnp.uint32)
+        allc = lax.all_gather(nbits, ("hosts", "data"))       # crosses DCN
+        idx = (lax.axis_index("hosts") * data + lax.axis_index("data"))
+        off = (allc * (jnp.arange(n) < idx)).sum(dtype=jnp.uint32)
+        return off[None], o["rank"], o["weights4"]
+
+    fn = jax.jit(shard_map(
+        body, mesh=m, in_specs=P(("hosts", "data"), None, None),
+        out_specs=(P(("hosts", "data")), P(("hosts", "data"), None),
+                   P(("hosts", "data"), None, None)), check_vma=False))
+    pages = jax.ShapeDtypeStruct((n, rows, cols), jnp.int8)
+    return fn, (pages,)
+
+
 CASES = {"pageshard": case_pageshard, "tileshard": case_tileshard,
          "bsvd": case_bsvd}
 
 
-def weak_scaling_report(case_fn, ns=(1, 2, 4, 8), hw=V5E, **kw) -> dict:
+def weak_scaling_report(case_fn, ns=(1, 2, 4, 8), hw=V5E,
+                        work_scale: float = 1.0, **kw) -> dict:
     """Efficiency eff(n) = t_model(1) / t_model(n) with per-device work and
-    counted collective bytes; weak scaling (per-device problem fixed)."""
+    counted collective bytes; weak scaling (per-device problem fixed).
+    work_scale multiplies counted compute — the lax.while sensitivity knob
+    (see DevCost.model_seconds)."""
     costs = {n: compiled_cost(*case_fn(n, **kw), n_devices=n) for n in ns}
-    t1 = costs[ns[0]].model_seconds(hw)
+    t1 = costs[ns[0]].model_seconds(hw, work_scale)
     rep = {}
     for n in ns:
         c = costs[n]
         rep[n] = dict(
-            eff=round(t1 / c.model_seconds(hw), 4),
+            eff=round(t1 / c.model_seconds(hw, work_scale), 4),
             flops_per_dev=c.flops,
             bytes_per_dev=c.bytes_accessed,
             ici_bytes_per_dev=round(c.ici_bytes, 1),
@@ -215,12 +319,45 @@ def weak_scaling_report(case_fn, ns=(1, 2, 4, 8), hw=V5E, **kw) -> dict:
     return rep
 
 
+def multihost_report(hosts_list=(1, 2, 4), data: int = 2, hw=V5E,
+                     **kw) -> dict:
+    """Weak scaling over the HOSTS axis (data width per host fixed): the
+    corpus-merge program compiled at n = hosts*data devices, DCN-crossing
+    collective bytes charged at dcn_bytes_per_s.  eff(h) = t(1 host)/t(h)."""
+    costs = {}
+    for h in hosts_list:
+        n = h * data
+        fn, args = case_corpus_merge(n, hosts=h, **kw)
+        costs[h] = compiled_cost(fn, args, n_devices=n,
+                                 devices_per_host=data)
+    t1 = costs[hosts_list[0]].model_seconds(hw)
+    rep = {}
+    for h in hosts_list:
+        c = costs[h]
+        rep[h] = dict(eff=round(t1 / c.model_seconds(hw), 4),
+                      dcn_bytes_per_dev=round(c.dcn_bytes, 1),
+                      ici_bytes_per_dev=round(c.ici_bytes, 1),
+                      n_collectives=c.collectives["count"])
+    return rep
+
+
 def suite(ns=(1, 2, 4, 8), shapes: dict | None = None) -> dict:
-    """All three sharded programs + the aggregate per-n minimum."""
+    """All three sharded programs + the aggregate per-n minimum, the
+    hosts-axis (DCN) corpus case, and the bsvd while-body sensitivity
+    band (VERDICT r4 items 6 and 8)."""
     shapes = shapes or {}
     out = {name: weak_scaling_report(fn, ns, **shapes.get(name, {}))
            for name, fn in CASES.items()}
     out["algorithmic_eff"] = {
         n: round(min(out[name][n]["eff"] for name in CASES), 4)
         for n in ns}
+    out["multihost"] = multihost_report()
+    nmax = max(ns)
+    # sensitivity needs no recompilation: work_scale only enters the model
+    sc = {n: compiled_cost(*case_bsvd(n, **shapes.get("bsvd", {})),
+                           n_devices=n) for n in (1, nmax)}
+    out["bsvd_eff_sensitivity"] = {
+        f"x{m}": round(sc[1].model_seconds(V5E, m)
+                       / sc[nmax].model_seconds(V5E, m), 4)
+        for m in (1, 2, 10)}
     return out

@@ -1215,6 +1215,51 @@ static void decode_stripe(const uint8_t* stream, long slen,
                     });
 }
 
+// --- payload mode 2: static-table interleaved rANS (device-assembled) ----
+// Twin of ops/ransdevice.py + models/codec._decode_scab_rans: the encoder
+// is the TPU jit (semi-adaptive per-context table + N interleaved rANS
+// lanes, 32-bit state / 16-bit renorm / 12-bit freqs); this is the serial
+// host decoder, parallel across stripes.
+
+static const uint16_t RANS_LOGIT64[64] = {
+    1, 2, 2, 3, 4, 5, 6, 8, 10, 13, 17, 22, 29, 37, 48, 61,
+    78, 101, 129, 164, 209, 266, 337, 424, 531, 659, 812, 990,
+    1193, 1419, 1663, 1918, 2178, 2433, 2677, 2903, 3106, 3284,
+    3437, 3565, 3672, 3759, 3830, 3887, 3932, 3967, 3995, 4018,
+    4035, 4048, 4059, 4067, 4074, 4079, 4083, 4086, 4088, 4090,
+    4091, 4092, 4093, 4094, 4094, 4095};
+
+template <int TMPL>
+static void decode_stripe_rans(const uint8_t* blob, long slen,
+                               const uint16_t* table, int n_lanes,
+                               uint8_t* img, int rows, int cols,
+                               int top, int bot) {
+  std::vector<uint32_t> x((size_t)n_lanes);
+  std::memcpy(x.data(), blob, 4L * n_lanes);
+  const uint8_t* st = blob + 4L * n_lanes;
+  long nbytes = slen - 4L * n_lanes;
+  long pos = 0, t = 0;
+  scan_stripe<TMPL>(img, rows, cols, top, bot,
+                    [&](long idx, uint32_t ctx) -> int {
+                      uint32_t& xs = x[(size_t)(t % n_lanes)];
+                      uint32_t p1 = table[ctx], f0 = 4096u - p1;
+                      uint32_t slot = xs & 4095u;
+                      int bit = slot >= f0;
+                      uint32_t f = bit ? p1 : f0, b = bit ? f0 : 0;
+                      xs = f * (xs >> 12) + slot - b;
+                      if (xs < (1u << 16)) {  // exactly one 16-bit pull
+                        uint32_t w = 0;
+                        if (pos + 2 <= nbytes)  // corrupt tail -> CRC fails
+                          w = ((uint32_t)st[pos] << 8) | st[pos + 1];
+                        pos += 2;
+                        xs = (xs << 16) | w;
+                      }
+                      img[idx] = (uint8_t)bit;
+                      ++t;
+                      return bit;
+                    });
+}
+
 template <class Fn>
 static void run_stripes(int n_stripes, Fn&& fn) {
   unsigned hw = std::thread::hardware_concurrency();
@@ -1315,6 +1360,97 @@ int bic_scab_decode(const uint8_t* payload, long len, int rows, int cols,
     else
       scab::decode_stripe<12>(payload + offs[s], lens[s], out_img,
                               rows, cols, top, bot, ramp != 0);
+  });
+  return 0;
+}
+
+// Decode the mode-2 (static-table interleaved rANS) codec-13 payload.
+// Layout: see models/compress._encode_scab_device.  Returns 0 / -1.
+int bic_scab_rans_decode(const uint8_t* payload, long len, int rows,
+                         int cols, uint8_t* out_img) {
+  if (len < 16) return -1;
+  int tmpl = payload[0], mode = payload[1];
+  int n_stripes = payload[2] | (payload[3] << 8);
+  int32_t stripe_rows;
+  std::memcpy(&stripe_rows, payload + 4, 4);
+  int n_lanes = payload[8], q_def = payload[9];
+  int n_tr = payload[10] | (payload[11] << 8);
+  int bm_mode = payload[12], rice_k = payload[13];
+  int bm_len = payload[14] | (payload[15] << 8);
+  if ((tmpl != 10 && tmpl != 12) || mode != 2 || n_stripes < 1 ||
+      stripe_rows < 1 || n_lanes < 1 || q_def > 63 || n_tr > 4096 ||
+      bm_mode > 1 || rice_k > 12)
+    return -1;
+  if ((long)(n_stripes - 1) * stripe_rows >= rows ||
+      (long)n_stripes * stripe_rows < rows)
+    return -1;
+  long off = 16;
+  if (len < off + bm_len) return -1;
+  const uint8_t* bm = payload + off;
+  // transmitted context ids: raw bitmap or Rice-coded gaps
+  std::vector<int> ids;
+  ids.reserve((size_t)n_tr);
+  if (bm_mode == 0) {
+    if (bm_len != 512) return -1;
+    for (int c = 0; c < 4096; ++c)
+      if ((bm[c >> 3] >> (7 - (c & 7))) & 1) ids.push_back(c);
+  } else {
+    long bp = 0, bmax = (long)bm_len * 8;
+    int prev = -1;
+    for (int i = 0; i < n_tr; ++i) {
+      uint32_t low = 0;
+      for (int k = 0; k < rice_k; ++k, ++bp) {
+        if (bp >= bmax) return -1;
+        low = (low << 1) | ((bm[bp >> 3] >> (7 - (bp & 7))) & 1);
+      }
+      uint32_t high = 0;
+      while (true) {
+        if (bp >= bmax) return -1;
+        int b = (bm[bp >> 3] >> (7 - (bp & 7))) & 1;
+        ++bp;
+        if (b) break;
+        ++high;
+      }
+      prev = prev + 1 + (int)((high << rice_k) | low);
+      if (prev >= 4096) return -1;
+      ids.push_back(prev);
+    }
+  }
+  if ((int)ids.size() != n_tr) return -1;
+  off += bm_len;
+  long code_bytes = ((long)n_tr * 6 + 7) / 8;
+  if (len < off + code_bytes) return -1;
+  const uint8_t* cb = payload + off;
+  std::vector<uint16_t> table(4096, scab::RANS_LOGIT64[q_def]);
+  long bitpos = 0;
+  for (int c : ids) {
+    uint32_t q = 0;
+    for (int k = 0; k < 6; ++k, ++bitpos)
+      q = (q << 1) | ((cb[bitpos >> 3] >> (7 - (bitpos & 7))) & 1);
+    table[c] = scab::RANS_LOGIT64[q];
+  }
+  off += code_bytes;
+  if (len < off + 4L * n_stripes) return -1;
+  std::vector<uint32_t> lens(n_stripes);
+  std::memcpy(lens.data(), payload + off, 4L * n_stripes);
+  off += 4L * n_stripes;
+  std::vector<long> offs(n_stripes);
+  for (int s = 0; s < n_stripes; ++s) {
+    offs[s] = off;
+    off += lens[s];
+    if (lens[s] < 4L * n_lanes || off > len) return -1;
+  }
+  scab::run_stripes(n_stripes, [&](int s) {
+    int top = s * stripe_rows;
+    int bot = std::min(rows, top + stripe_rows);
+    if (tmpl == 10)
+      scab::decode_stripe_rans<10>(payload + offs[s], lens[s],
+                                   table.data(), n_lanes, out_img,
+                                   rows, cols, top, bot);
+    else
+      scab::decode_stripe_rans<12>(payload + offs[s], lens[s],
+                                   table.data(), n_lanes, out_img,
+                                   rows, cols, top, bot);
   });
   return 0;
 }

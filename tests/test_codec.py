@@ -380,3 +380,85 @@ def test_scab_corrupt_payload_raises():
     bad[-3] ^= 0x40
     with pytest.raises(ValueError):
         codec.decode(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# codec 13 mode 2: device-assembled static-table interleaved rANS
+# ---------------------------------------------------------------------------
+
+def _twin_rans_decode(blob, shape):
+    """Force the pure-Python mode-2 decoder (native disabled)."""
+    from binary_image_compression_tpu import native as nat
+    orig = nat.scab_rans_decode
+    nat.scab_rans_decode = lambda *a, **k: None
+    try:
+        return codec._decode_scab_rans(blob[codec.HEADER_LEN:], *shape)
+    finally:
+        nat.scab_rans_decode = orig
+
+
+def test_scab_rans_roundtrip_and_twin_parity():
+    """The device-path payload (mode 2) round-trips bit-exactly through
+    both the native C++ decoder and the Python twin, for both templates
+    and several stripe counts (VERDICT r4 item 1)."""
+    from binary_image_compression_tpu.models import compress
+    for name in ("text256.pbm", "ragged75x101.pbm"):
+        img = load(name)
+        for tmpl, T in ((10, 0), (12, 2), (12, 4)):
+            p = codec.CodecParams(codec=13, W=tmpl, T=T, R=0)
+            blob = compress.encode_scab(img, p, entropy="device")
+            assert blob[codec.HEADER_LEN + 1] == 2  # mode byte
+            np.testing.assert_array_equal(codec.decode(blob), img)
+            np.testing.assert_array_equal(
+                _twin_rans_decode(blob, img.shape), img)
+
+
+def test_scab_rans_edge_geometries():
+    """Degenerate shapes: constant pages (prob clamps), single row, pixels
+    fewer than lanes, ragged stripe tails — exact-no-op padding must never
+    leak into decoded pixels."""
+    from binary_image_compression_tpu.models import compress
+    rng = np.random.RandomState(7)
+    cases = [np.zeros((33, 65), bool), np.ones((16, 16), bool),
+             rng.rand(1, 7) < 0.5, rng.rand(129, 67) < 0.93,
+             np.eye(50, dtype=bool)]
+    for img in cases:
+        p = codec.CodecParams(codec=13, W=0, T=2, R=0)
+        blob = compress.encode_scab(np.asarray(img), p, entropy="device")
+        np.testing.assert_array_equal(codec.decode(blob), np.asarray(img))
+
+
+def test_scab_rans_ratio_competitive():
+    """The semi-adaptive static table must stay within a few percent of the
+    host adaptive coder (on doc-class pages it actually WINS: the two-pass
+    table beats adaptive warm-up)."""
+    img = load("text256.pbm")
+    from binary_image_compression_tpu.models import compress
+    p = codec.CodecParams(codec=13, W=0, T=0, R=0)
+    dev = compress.encode_scab(img, p, entropy="device")
+    host = codec.encode(img, p)
+    assert (codec.decode(dev) == img).all()
+    assert len(dev) < len(host) * 1.10
+    assert len(dev) < img.size / 8 * 0.8  # genuinely compresses
+
+
+def test_scab_rans_corrupt_streams():
+    """Corrupt mode-2 payloads raise ValueError (header validation or CRC),
+    never crash — table section, stripe lengths, stream bytes."""
+    from binary_image_compression_tpu.models import compress
+    img = load("text64.pbm")
+    p = codec.CodecParams(codec=13, W=0, T=2, R=0)
+    blob = compress.encode_scab(img, p, entropy="device")
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        bad = bytearray(blob)
+        bad[rng.randint(codec.HEADER_LEN, len(bad))] ^= 0xFF
+        try:
+            out = codec.decode(bytes(bad))
+        except ValueError:
+            continue
+        # flips landing in section pad bits are semantically dead: the
+        # decode must then be EXACTLY the original (CRC verified)
+        np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
+        codec.decode(blob[:codec.HEADER_LEN + 20])

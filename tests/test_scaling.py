@@ -115,3 +115,44 @@ def test_sharded_encode_analyze_matches_single_device():
             rows=rows, cols=cols))
         for k in ref:
             np.testing.assert_array_equal(out[k][b], ref[k], err_msg=k)
+
+
+def test_crosses_hosts_classifier():
+    """DCN split: replica groups spanning a host boundary are flagged,
+    purely local ones are not (devices host-major, per_host given)."""
+    local = "%ag = u32[8]{0} all-gather(%x), replica_groups={{0,1},{2,3}}"
+    cross = "%ag = u32[8]{0} all-gather(%x), replica_groups={{0,2},{1,3}}"
+    perm_l = ("%cp = u32[4]{0} collective-permute(%x), "
+              "source_target_pairs={{0,1},{1,0}}")
+    perm_x = ("%cp = u32[4]{0} collective-permute(%x), "
+              "source_target_pairs={{0,2},{2,0}}")
+    assert not scaling._crosses_hosts(local, 2)
+    assert scaling._crosses_hosts(cross, 2)
+    assert not scaling._crosses_hosts(perm_l, 2)
+    assert scaling._crosses_hosts(perm_x, 2)
+    # per_host = 0 disables the split entirely
+    assert not scaling._crosses_hosts(cross, 0)
+
+
+def test_multihost_dcn_report():
+    """Hosts-axis weak scaling of the corpus encode + offset merge: DCN
+    bytes are counted on the hosts-spanning gather, efficiency stays >=
+    the BASELINE 0.8 target at 2 and 4 hosts (VERDICT r4 item 6)."""
+    rep = scaling.multihost_report(hosts_list=(1, 2, 4), data=2,
+                                   rows=128, cols=128, R=32)
+    assert rep[2]["eff"] >= 0.8 and rep[4]["eff"] >= 0.8, rep
+    # the offset gather crosses hosts at h >= 2, and grows with h
+    assert rep[2]["dcn_bytes_per_dev"] > 0
+    assert rep[4]["dcn_bytes_per_dev"] > rep[2]["dcn_bytes_per_dev"]
+    assert rep[1]["dcn_bytes_per_dev"] == 0
+
+
+def test_bsvd_while_sensitivity_band():
+    """The lax.while undercount caveat: scaling the counted compute x2/x10
+    (bodies run more than once) keeps — in fact improves — the bsvd
+    efficiency, so the reported eff is a lower bound (VERDICT r4 item 8)."""
+    effs = [scaling.weak_scaling_report(
+        scaling.case_bsvd, (1, 8), work_scale=m,
+        **SHAPES["bsvd"])[8]["eff"] for m in (1, 2, 10)]
+    assert all(e >= 0.8 for e in effs), effs
+    assert effs[2] >= effs[0]
