@@ -240,25 +240,39 @@ def packed_sel_layout(W: int, R: int, cols: int):
                 flag=1 << (db + kb + 2))
 
 
-def _packed_window_keys(i0, j0, xxr, rowparts, *, W, R, cols, lay):
+def _packed_window_keys(i0, j0, xxr, rowparts, *, W, R, cols, lay,
+                        grids=(1, 2)):
     """Scan keys + validity for broadcastable (i0, j0, xxr) pieces.
 
     rowparts: (rowm1, rowm2, rt1, rt2) column pieces shaped to broadcast
     against xxr (the caller expands dims for group shapes).  Returns
-    (key = min(key1, key2), valid)."""
+    (key = min(key1, key2), valid).
+
+    grids restricts which window grids contribute (static): the strict
+    kernel's phase split computes grid 2 (rows <= i0-W, finalized at row
+    start) in a batched pass and grid 1 (the live same-row scan) serially;
+    a cell in BOTH grids then contributes its two priorities separately,
+    whose min equals the combined per-cell min (keys couple identically)."""
     rowm1, rowm2, rt1, rt2 = rowparts
     off1 = lay["off1"]
     maxx = cols - W
     minj = jnp.maximum(j0 - R, 0)
     maxj2 = jnp.maximum(j0 - W, 0)
     maxj = jnp.minimum(j0 + R, maxx)
-    colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0 >= W)
-    colm2 = (xxr >= minj) & (xxr <= maxj)
-    in1 = rowm1 & colm1
-    in2 = rowm2 & colm2
-    key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
-    key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
-    return jnp.minimum(key1, key2), in1 | in2
+    key1 = key2 = None
+    if 1 in grids:
+        colm1 = (xxr >= minj) & (xxr <= maxj2) & (j0 >= W)
+        in1 = rowm1 & colm1
+        key1 = jnp.where(in1, rt1 + (maxj2 - xxr), _INF)
+    if 2 in grids:
+        colm2 = (xxr >= minj) & (xxr <= maxj)
+        in2 = rowm2 & colm2
+        key2 = jnp.where(in2, off1 + rt2 + (maxj - xxr), _INF)
+    if key1 is None:
+        return key2, key2 < _INF
+    if key2 is None:
+        return key1, key1 < _INF
+    return jnp.minimum(key1, key2), (key1 < _INF) | (key2 < _INF)
 
 
 def _packed_priority(d, key, valid, *, M, T_thresh, invert, lay):

@@ -46,7 +46,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_field_plane, _selection_scalars,
+from .pallas_kernels import (_field_plane, _packed_decode,
+                             _packed_priority, _packed_window_keys,
+                             _selection_scalars,
                              _selection_scalars_packed, packed_sel_layout)
 
 
@@ -70,8 +72,10 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     gh, gw = img.shape
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    import os
+    split = os.environ.get("BIC_STRICT_SPLIT", "1") != "0"
     fn = _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
-                 interpret)
+                 interpret, split=split)
     outs, res_packed = fn(img)
     return dict(mode=outs[:, 0], rank=outs[:, 1],
                 n_cands=outs[:, 5], inv=outs[:, 2].astype(jnp.bool_),
@@ -81,11 +85,13 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
 
 @lru_cache(maxsize=16)
 def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
-            interpret, debug_skip=None, acc_rot=False):
+            interpret, debug_skip=None, acc_rot=False, split=False):
     # debug_skip ("acc" | "selection" | "subst") disables one kernel stage
     # for perf bisection ONLY — outputs are wrong; never set in production.
     # acc_rot selects the aligned-rotation distance accumulator (identical
     # integer results; A/B lever, see the kernel body).
+    # split: the round-5 grid-1/grid-2 phase split (see _make_kernel);
+    # byte-identical outputs, requires the packed selection layout.
     ny, nx = gh // W, gw // W
     T = ny * nx
     M = W * W
@@ -108,11 +114,20 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
     oy_rows = jnp.asarray(oy_rows)
     j0_row = jnp.arange(nx, dtype=jnp.int32) * W
 
+    if split and packed_sel_layout(W, R, cols) is None:
+        split = False
     kernel = _make_kernel(W=W, R=R, Rg=Rg, T_thresh=T_thresh, rows=rows,
                           cols=cols, invert=invert, use_pred=use_pred, nx=nx,
                           bh=bh, He=He, We=We, interpret=interpret,
-                          debug_skip=debug_skip, acc_rot=acc_rot)
+                          debug_skip=debug_skip, acc_rot=acc_rot,
+                          split=split)
     vmem = pl.ANY if interpret else pltpu.VMEM
+    scratch = [
+        pltpu.VMEM((He, We), jnp.uint32),   # live field plane
+        pltpu.SMEM((8,), jnp.uint32),       # gm/gn contexts
+    ]
+    if split:
+        scratch.append(pltpu.SMEM((nx,), jnp.int32))   # phase-A priorities
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # oy_rows [ny], j0_row [nx], enb [M+1]
         grid=(ny,),
@@ -125,10 +140,7 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
             pl.BlockSpec((1, nx, W), lambda r, *_: (r, 0, 0),
                          memory_space=vmem),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((He, We), jnp.uint32),   # live field plane
-            pltpu.SMEM((8,), jnp.uint32),       # gm/gn contexts
-        ],
+        scratch_shapes=scratch,
     )
     call = pl.pallas_call(
         kernel,
@@ -154,11 +166,13 @@ def _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
 
 
 def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
-                 bh, He, We, interpret, debug_skip=None, acc_rot=False):
+                 bh, He, We, interpret, debug_skip=None, acc_rot=False,
+                 split=False):
     # numpy scalars: jnp constants created outside the traced kernel would
     # be closure captures, which pallas rejects
     wmask = np.uint32((1 << W) - 1)
     U32 = np.uint32(0xFFFFFFFF)
+    M_const = W * W
 
     def roll_rows(x, shift):  # x[a] <- x[a + shift] (wrap)
         if interpret:
@@ -190,8 +204,10 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
             jnp.uint32)
         return acc, n, k
 
-    def kernel(oy_ref, j0_ref, enb_ref, e0_ref, out_ref, res_ref, ev, gctx):
+    def kernel(oy_ref, j0_ref, enb_ref, e0_ref, out_ref, res_ref, ev, gctx,
+               *prA_scratch):
         r = pl.program_id(0)
+        prA = prA_scratch[0] if split else None
 
         @pl.when(r == 0)
         def _init():
@@ -206,6 +222,48 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
         xsel = lax.broadcasted_iota(jnp.int32, (1, We), 1)      # [1, We]
         rsel = lax.broadcasted_iota(jnp.int32, (bh, 1), 0)      # [bh, 1]
 
+        if split:
+            # ---- phase A (round 5): grid-2 candidates read ONLY rows
+            # finalized before this grid step (y <= i0-W < i0; row r's
+            # substitutions touch rows [i0, i0+W) only), and each tile's
+            # own field rows are untouched until its own substitution — so
+            # 87% of the distance work (R-W+1 of R+1 window rows at
+            # R128/W16) leaves the serial chain entirely: one static
+            # unrolled pass over the nx tiles with STATIC 128-aligned
+            # x-chunks (the causal kernel's plan_groups trick), stored as
+            # one packed priority scalar per tile.  The serial loop below
+            # then computes only the 2W-row grid-1 slab and merges.
+            wh2 = Rg - W + 1
+            yy2 = lax.broadcasted_iota(jnp.int32, (wh2, 1), 0) + oy
+            rowm2 = (yy2 >= jnp.maximum(i0 - R, 0)) & (yy2 <= i0 - W)
+            rt2 = (i0 - W - yy2) * np.int32(lay["span"])
+            for ts in range(nx):
+                j0s = ts * W
+                lo = max(0, j0s - R)
+                hi = min(We - 1, j0s + R)
+                xs = (lo // 128) * 128
+                span = min(We - xs, -(-(hi + 1 - xs) // 128) * 128)
+                tchunk = ev[pl.ds(i0, W), pl.ds(xs, span)]      # [W, span]
+                xxr = (lax.broadcasted_iota(jnp.int32, (1, span), 1)
+                       + np.int32(xs))
+                selj = (xxr == j0s).astype(jnp.int32)
+                trow2 = (tchunk.astype(jnp.int32) * selj).sum(
+                    axis=1, keepdims=True).astype(jnp.uint32)   # [W, 1]
+                band2 = ev[pl.ds(oy, Rg), pl.ds(xs, span)]      # [Rg, span]
+                acc2 = jnp.zeros((wh2, span), jnp.int32)
+                if debug_skip != "acc":
+                    for a in range(W):
+                        f = band2[a:a + wh2, :] ^ trow2[a, 0]
+                        acc2 = acc2 + lax.population_count(f).astype(
+                            jnp.int32)
+                key2, valid2 = _packed_window_keys(
+                    i0, jnp.int32(j0s), xxr, (rowm2, rowm2, rt2, rt2),
+                    W=W, R=R, cols=cols, lay=lay, grids=(2,))
+                p2g = _packed_priority(acc2, key2, valid2, M=M_const,
+                                       T_thresh=T_thresh, invert=invert,
+                                       lay=lay)
+                prA[ts] = jnp.min(p2g)
+
         def tile_body(t, carry):
             j0 = j0_ref[t]
             band = ev[pl.ds(oy, bh), :]                         # [bh, We]
@@ -216,42 +274,76 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
             trow = (tilerows.astype(jnp.int32) * selj).sum(
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
-            # wh = Rg+1 rows cover every valid dy (Rg >= R); static slices
-            # of the band value replace per-a rolls (no full-band copy).
-            # acc_rot pre-rotates the band by each sublane residue once, so
-            # every per-a slice lands on an 8-aligned sublane offset
-            # (a - a%8) — W unaligned 129-row shifts become 7 full-band
-            # rotations + W aligned slices.
-            wh = Rg + 1
-            acc = jnp.zeros((wh, We), jnp.int32)
-            if debug_skip != "acc":
-                if acc_rot:
-                    rots = [band if s == 0 else roll_rows(band, s)
-                            for s in range(min(8, W))]
+            if split:
+                # ---- phase B: grid-1 only — candidate rows y in
+                # [max(i0-W,0), i0] read the LIVE plane (rows >= i0 were
+                # mutated by earlier tiles of this row); a 2W-row slab
+                # replaces the full Rg+W band on the serial chain.
+                sl0 = pl.multiple_of(jnp.maximum(i0 - W, 0), 8)
+                slab = ev[pl.ds(sl0, 2 * W), :]                 # [2W, We]
+                h1 = W + 1
+                acc1 = jnp.zeros((h1, We), jnp.int32)
+                if debug_skip != "acc":
                     for a in range(W):
-                        s = a % 8
-                        base = a - s
-                        f = rots[s][base:base + wh, :] ^ trow[a, 0]
-                        acc = acc + lax.population_count(f).astype(
+                        f = slab[a:a + h1, :] ^ trow[a, 0]
+                        acc1 = acc1 + lax.population_count(f).astype(
                             jnp.int32)
+                yy1 = lax.broadcasted_iota(jnp.int32, (h1, 1), 0) + sl0
+                rowm1 = yy1 <= i0            # yy1 >= max(i0-W, 0) already
+                rt1 = (i0 - yy1) * np.int32(lay["span"])
+                xxr1 = lax.broadcasted_iota(jnp.int32, (1, We), 1)
+                key1, valid1 = _packed_window_keys(
+                    i0, j0, xxr1, (rowm1, rowm1, rt1, rt1),
+                    W=W, R=R, cols=cols, lay=lay, grids=(1,))
+                p1g = _packed_priority(acc1, key1, valid1, M=M_const,
+                                       T_thresh=T_thresh, invert=invert,
+                                       lay=lay)
+                if debug_skip == "selection":
+                    z = acc1[0, 0] & 0
+                    outs = (acc1.sum() & 255, z, z, z + 1, z, z + 7,
+                            z + 1, z)
                 else:
-                    for a in range(W):
-                        f = band[a:a + wh, :] ^ trow[a, 0]
-                        acc = acc + lax.population_count(f).astype(
-                            jnp.int32)
-
-            if debug_skip == "selection":
-                z = acc[0, 0] & 0
-                outs = (acc.sum() & 255, z, z, z + 1, z, z + 7, z + 1, z)
-            elif lay is not None:
-                outs = _selection_scalars_packed(
-                    acc, i0, j0, oy, W=W, R=R, T_thresh=T_thresh,
-                    cols=cols, invert=invert, w=We, lay=lay)
+                    pr = jnp.minimum(prA[t], jnp.min(p1g))
+                    outs = _packed_decode(pr, i0, j0, oy, W=W, R=R,
+                                          cols=cols, lay=lay)
             else:
-                outs = _selection_scalars(
-                    acc, i0, j0, oy, jnp.int32(0), W=W, R=R,
-                    T_thresh=T_thresh, rows=rows, cols=cols, invert=invert,
-                    h=wh, w=We)
+                # wh = Rg+1 rows cover every valid dy (Rg >= R); static
+                # slices of the band value replace per-a rolls (no
+                # full-band copy).  acc_rot pre-rotates the band by each
+                # sublane residue once, so every per-a slice lands on an
+                # 8-aligned sublane offset (a - a%8) — W unaligned 129-row
+                # shifts become 7 full-band rotations + W aligned slices.
+                wh = Rg + 1
+                acc = jnp.zeros((wh, We), jnp.int32)
+                if debug_skip != "acc":
+                    if acc_rot:
+                        rots = [band if s == 0 else roll_rows(band, s)
+                                for s in range(min(8, W))]
+                        for a in range(W):
+                            s = a % 8
+                            base = a - s
+                            f = rots[s][base:base + wh, :] ^ trow[a, 0]
+                            acc = acc + lax.population_count(f).astype(
+                                jnp.int32)
+                    else:
+                        for a in range(W):
+                            f = band[a:a + wh, :] ^ trow[a, 0]
+                            acc = acc + lax.population_count(f).astype(
+                                jnp.int32)
+
+                if debug_skip == "selection":
+                    z = acc[0, 0] & 0
+                    outs = (acc.sum() & 255, z, z, z + 1, z, z + 7,
+                            z + 1, z)
+                elif lay is not None:
+                    outs = _selection_scalars_packed(
+                        acc, i0, j0, oy, W=W, R=R, T_thresh=T_thresh,
+                        cols=cols, invert=invert, w=We, lay=lay)
+                else:
+                    outs = _selection_scalars(
+                        acc, i0, j0, oy, jnp.int32(0), W=W, R=R,
+                        T_thresh=T_thresh, rows=rows, cols=cols,
+                        invert=invert, h=wh, w=We)
             (bestd, dy, binv, found, rank, n_cands, has_c, dx) = outs
 
             # candidate fields: band rows dy..dy+W-1 at lane dx

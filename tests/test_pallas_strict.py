@@ -58,3 +58,34 @@ def test_strict_unsupported_geometry_falls_back():
     assert time.time() - t0 < 30, "fallback must be the fast host encoder"
     assert blob == codec.encode(img, p)
     np.testing.assert_array_equal(codec.decode(blob), img)
+
+
+def test_split_and_monolithic_kernels_identical():
+    """The round-5 grid-1/grid-2 phase split (grid-2 distances batched per
+    tile row off the serial chain — legal because grid-2 candidates read
+    only rows finalized before the row starts, and a tile's own rows are
+    untouched until its own substitution) must be bit-identical to the
+    monolithic kernel, including on residual-feedback-heavy content."""
+    import numpy as np
+    from binary_image_compression_tpu.ops import pallas_strict
+    rng = np.random.RandomState(11)
+    # image built to force matches whose residuals then feed later searches
+    base = (rng.rand(16, 64) < 0.4)
+    img = np.vstack([base, base ^ (rng.rand(16, 64) < 0.05),
+                     base, (rng.rand(16, 64) < 0.4)])
+    grid = img.astype(np.uint32)
+    kw = dict(W=8, R=16, T_thresh=2, rows=64, cols=64, gh=64, gw=64,
+              invert=True, use_pred=True, interpret=True)
+    import jax
+    f_mono = pallas_strict._jitted(*[kw[k] for k in
+                                     ("W", "R", "T_thresh", "rows", "cols",
+                                      "gh", "gw", "invert", "use_pred",
+                                      "interpret")], split=False)
+    f_split = pallas_strict._jitted(*[kw[k] for k in
+                                      ("W", "R", "T_thresh", "rows", "cols",
+                                       "gh", "gw", "invert", "use_pred",
+                                       "interpret")], split=True)
+    o1, r1 = jax.device_get(f_mono(grid))
+    o2, r2 = jax.device_get(f_split(grid))
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(r1, r2)
