@@ -39,6 +39,11 @@ def _add_codec_opts(p):
                         "original-pixel refs (parallel, usually smaller)")
     p.add_argument("--backend", choices=["auto", "host", "tpu"],
                    default="auto")
+    p.add_argument("--entropy", choices=["host", "device"], default="host",
+                   help="codec 13 only: host = adaptive range coder "
+                        "(best ratio on small pages), device = static-table "
+                        "interleaved rANS assembled entirely on the TPU "
+                        "(payload mode 2; wins on doc-class pages)")
     p.add_argument("--shard", choices=["none", "tiles"], default="none",
                    help="tiles: shard ONE image's tile grid over all "
                         "devices (multi-hop ppermute halo; byte-identical "
@@ -101,6 +106,10 @@ def cmd_compress(args):
             blob = compress.encode(img, params, profile=prof)
             if prof is not None:
                 print(prof.report())
+        elif args.codec == 13 and getattr(args, "entropy",
+                                          "host") == "device":
+            # the WHOLE payload assembles on device (mode-2 rANS)
+            blob = compress.encode_scab(img, params, entropy="device")
         elif args.codec == 13 and args.backend == "tpu":
             # context template on device, range-coder update on host
             blob = compress.encode_scab(img, params)

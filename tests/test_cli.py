@@ -138,3 +138,19 @@ def test_cli_shard_tiles_stream_parity(tmp_path):
     r3 = run_cli(["decompress", "sharded.bic", "out.pbm"], tmp_path)
     assert r3.returncode == 0, r3.stderr
     assert open(src, "rb").read() == open(tmp_path / "out.pbm", "rb").read()
+
+
+def test_cli_codec13_device_entropy(tmp_path):
+    """--codec 13 --entropy device writes a mode-2 (device rANS) stream
+    that decompresses bit-exactly through the standard decode path."""
+    src = os.path.join(FIX, "text256.pbm")
+    out = tmp_path / "t.bic"
+    back = tmp_path / "t.pbm"
+    r = run_cli(["compress", src, str(out), "--codec", "13",
+                 "--entropy", "device"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    blob = out.read_bytes()
+    assert blob[28 + 1] == 2        # payload mode byte after BIC1 header
+    r = run_cli(["decompress", str(out), str(back)], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == open(src, "rb").read()
