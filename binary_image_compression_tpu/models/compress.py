@@ -707,12 +707,15 @@ def _encode_scab_device(img, params, tmpl, n_stripes, stripe_rows,
     body += struct.pack("<BBH", bm_mode, rice_k, len(bm_bytes))
     body += bm_bytes
     body += words_to_bytes(tab_words, int(tab_bits))
+    # ONE sliced fetch for all stripes (the remote link charges a round
+    # trip per buffer): trim the [S, Wmax] word bank to the longest live
+    # stream, then split on host
+    nw_max = max(1, max(-(-int(b) // 32) for b in bits))
+    words_all = np.asarray(jax.device_get(out["words"][:, :nw_max]))
     stream_bytes = []
     for s in range(n_stripes):
-        nw = -(-int(bits[s]) // 32)     # fetch only the live words
-        sw = np.asarray(jax.device_get(out["words"][s, :nw]))
         stream_bytes.append(np.asarray(states[s], "<u4").tobytes()
-                            + words_to_bytes(sw, int(bits[s])))
+                            + words_to_bytes(words_all[s], int(bits[s])))
     for sb in stream_bytes:
         body += struct.pack("<I", len(sb))
     for sb in stream_bytes:
