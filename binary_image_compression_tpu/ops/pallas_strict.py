@@ -73,7 +73,9 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     import os
-    split = os.environ.get("BIC_STRICT_SPLIT", "1") != "0"
+    # 0 = monolithic, 1 = phase split (fori tail), 2 = phase split with the
+    # serial tail statically unrolled onto per-tile 128-aligned chunks
+    split = int(os.environ.get("BIC_STRICT_SPLIT", "1") or 0)
     fn = _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
                  interpret, split=split)
     outs, res_packed = fn(img)
@@ -264,13 +266,31 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                                        lay=lay)
                 prA[ts] = jnp.min(p2g)
 
-        def tile_body(t, carry):
-            j0 = j0_ref[t]
-            band = ev[pl.ds(oy, bh), :]                         # [bh, We]
-            tilerows = ev[pl.ds(i0, W), :]                      # [W, We]
+        def r128(v):
+            return -(-v // 128) * 128
+
+        def tile_body(t, carry, st=None):
+            # st (split=2 only): static per-tile chunk geometry — j0s and
+            # 128-aligned lane windows for the search (A), the grid-1 slab
+            # (shared) and the substitution (S); every [*, We] tail op then
+            # shrinks to a 256-384 lane chunk.
+            if st is None:
+                j0 = j0_ref[t]
+                band = ev[pl.ds(oy, bh), :]                     # [bh, We]
+                tilerows = ev[pl.ds(i0, W), :]                  # [W, We]
+                xselA = xsel
+                spanA = We
+            else:
+                j0 = jnp.int32(st["j0s"])
+                band = ev[pl.ds(oy, bh), pl.ds(st["xsA"], st["spanA"])]
+                tilerows = ev[pl.ds(i0, W),
+                              pl.ds(st["xsA"], st["spanA"])]
+                xselA = (lax.broadcasted_iota(
+                    jnp.int32, (1, st["spanA"]), 1) + np.int32(st["xsA"]))
+                spanA = st["spanA"]
             # Mosaic has no unsigned reductions: masked single-element
             # sums run in int32 (bit patterns survive the round trip)
-            selj = (xsel == j0).astype(jnp.int32)                # [1, We]
+            selj = (xselA == j0).astype(jnp.int32)              # [1, spanA]
             trow = (tilerows.astype(jnp.int32) * selj).sum(
                 axis=1, keepdims=True).astype(jnp.uint32)       # [W, 1]
 
@@ -280,9 +300,15 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                 # mutated by earlier tiles of this row); a 2W-row slab
                 # replaces the full Rg+W band on the serial chain.
                 sl0 = pl.multiple_of(jnp.maximum(i0 - W, 0), 8)
-                slab = ev[pl.ds(sl0, 2 * W), :]                 # [2W, We]
+                if st is None:
+                    slab = ev[pl.ds(sl0, 2 * W), :]             # [2W, We]
+                    xxr1 = lax.broadcasted_iota(jnp.int32, (1, We), 1)
+                else:
+                    slab = ev[pl.ds(sl0, 2 * W),
+                              pl.ds(st["xsA"], st["spanA"])]
+                    xxr1 = xselA
                 h1 = W + 1
-                acc1 = jnp.zeros((h1, We), jnp.int32)
+                acc1 = jnp.zeros((h1, slab.shape[1]), jnp.int32)
                 if debug_skip != "acc":
                     for a in range(W):
                         f = slab[a:a + h1, :] ^ trow[a, 0]
@@ -291,7 +317,6 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                 yy1 = lax.broadcasted_iota(jnp.int32, (h1, 1), 0) + sl0
                 rowm1 = yy1 <= i0            # yy1 >= max(i0-W, 0) already
                 rt1 = (i0 - yy1) * np.int32(lay["span"])
-                xxr1 = lax.broadcasted_iota(jnp.int32, (1, We), 1)
                 key1, valid1 = _packed_window_keys(
                     i0, j0, xxr1, (rowm1, rowm1, rt1, rt1),
                     W=W, R=R, cols=cols, lay=lay, grids=(1,))
@@ -346,8 +371,9 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                         invert=invert, h=wh, w=We)
             (bestd, dy, binv, found, rank, n_cands, has_c, dx) = outs
 
-            # candidate fields: band rows dy..dy+W-1 at lane dx
-            seld = (xsel == dx).astype(jnp.int32)                # [1, We]
+            # candidate fields: band rows dy..dy+W-1 at lane dx (dx is an
+            # absolute lane; band/xselA are the full row or the A-chunk)
+            seld = (xselA == dx).astype(jnp.int32)              # [1, spanA]
             colvals = (band.astype(jnp.int32) * seld).sum(
                 axis=1, keepdims=True)                           # [bh, 1]
             a2 = lax.broadcasted_iota(jnp.int32, (W, 1), 0)     # [W, 1]
@@ -423,19 +449,39 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
                 mode == 0, p3, jnp.where(
                     mode == 1, dp3, jnp.where(mode == 2, p, dp)))  # [W, 1]
 
-            # ---- residual substitution: rebuild the W touched rows ------
-            pixrows = (tilerows >> jnp.uint32(W - 1)) & jnp.uint32(1)
-            rel = xsel - j0                                     # [1, We]
+            # ---- residual substitution: rebuild the touched field rows --
+            if st is None:
+                # full-width rebuild: fields everywhere recompute to the
+                # same value except lanes [j0-W+1, j0+W)
+                srows = tilerows
+                xselS = xsel
+            else:
+                # only lanes [j0-W+1, j0+W) change; the rebuild needs
+                # pixel lanes up to j0+2W-2, all inside the static S-chunk
+                srows = ev[pl.ds(i0, W), pl.ds(st["xsS"], st["spanS"])]
+                xselS = (lax.broadcasted_iota(
+                    jnp.int32, (1, st["spanS"]), 1) + np.int32(st["xsS"]))
+            pixrows = (srows >> jnp.uint32(W - 1)) & jnp.uint32(1)
+            rel = xselS - j0                                    # [1, spanS]
             shift = jnp.clip(W - 1 - rel, 0, 31).astype(jnp.uint32)
             in_tile = (rel >= 0) & (rel < W)
-            resbits = (res >> shift) & jnp.uint32(1)            # [W, We]
+            resbits = (res >> shift) & jnp.uint32(1)            # [W, spanS]
             pixrows = jnp.where(in_tile, resbits, pixrows)
-            newE = jnp.zeros((W, We), jnp.uint32)
+            newE = jnp.zeros(pixrows.shape, jnp.uint32)
             for c in range(W):
                 newE = newE | (roll_lanes(pixrows, c)
                                << jnp.uint32(W - 1 - c))
+            if st is not None:
+                # keep untouched fields exact (the chunk-local roll wraps
+                # at the chunk edge, which only garbles lanes outside the
+                # affected range)
+                touched = (rel >= -(W - 1)) & (rel < W)
+                newE = jnp.where(touched, newE, srows)
             if debug_skip != "subst":
-                ev[pl.ds(i0, W), :] = newE
+                if st is None:
+                    ev[pl.ds(i0, W), :] = newE
+                else:
+                    ev[pl.ds(i0, W), pl.ds(st["xsS"], st["spanS"])] = newE
 
             out_ref[0, pl.ds(t, 1), :] = jnp.stack(
                 [mode, rank, binv, weight, k_used, n_cands, il,
@@ -443,6 +489,23 @@ def _make_kernel(*, W, R, Rg, T_thresh, rows, cols, invert, use_pred, nx,
             res_ref[0, pl.ds(t, 1), :] = res.reshape(1, W)
             return carry
 
-        lax.fori_loop(0, nx, tile_body, jnp.int32(0))
+        if split == 2:
+            # static unroll: every tail op runs on per-tile 128-aligned
+            # chunks instead of the full We lanes
+            for ts in range(nx):
+                j0s = ts * W
+                loA = max(0, j0s - R)
+                hiA = min(We - 1, j0s + R)
+                xsA = (loA // 128) * 128
+                spanA = min(We - xsA, r128(hiA + 1 - xsA))
+                loS = max(0, j0s - W + 1)
+                hiS = min(We - 1, j0s + 2 * W - 2)
+                xsS = (loS // 128) * 128
+                spanS = min(We - xsS, r128(hiS + 1 - xsS))
+                tile_body(ts, jnp.int32(0),
+                          st=dict(j0s=j0s, xsA=xsA, spanA=spanA,
+                                  xsS=xsS, spanS=spanS))
+        else:
+            lax.fori_loop(0, nx, tile_body, jnp.int32(0))
 
     return kernel

@@ -98,20 +98,22 @@ def bench_strict():
     g = jnp.asarray(grid)
     g2 = g ^ jnp.uint32(1)
     out = {}
-    for split in (False, True):
+    which = ((2,) if len(sys.argv) > 2 and sys.argv[2] == "unroll"
+             else (0, 1, 2))
+    ref = None
+    for split in which:
         fn = pallas_strict._jitted(16, 128, 2, rows, cols, 512, 512,
                                    True, True, False, split=split)
+        name = {0: "mono", 1: "split", 2: "split_unroll"}[split]
         ms = chained_pallas_ms(lambda gi, fn=fn: fn(gi)[0][:, 1], g, g2)
-        out[f"strict_ms_{'split' if split else 'mono'}"] = round(ms, 2)
-        # parity spot check on chip
-        if split:
-            a = jax.device_get(pallas_strict._jitted(
-                16, 128, 2, rows, cols, 512, 512, True, True, False,
-                split=False)(g))
-            b = jax.device_get(fn(g))
-            assert (a[0] == b[0]).all() and (a[1] == b[1]).all(), \
-                "split kernel diverged on chip"
-            out["strict_split_parity"] = "ok"
+        out[f"strict_ms_{name}"] = round(ms, 2)
+        b = jax.device_get(fn(g))
+        if ref is None:
+            ref = b
+        else:
+            assert (ref[0] == b[0]).all() and (ref[1] == b[1]).all(), \
+                f"{name} kernel diverged on chip"
+            out[f"strict_{name}_parity"] = "ok"
     return out
 
 

@@ -77,15 +77,11 @@ def test_split_and_monolithic_kernels_identical():
     kw = dict(W=8, R=16, T_thresh=2, rows=64, cols=64, gh=64, gw=64,
               invert=True, use_pred=True, interpret=True)
     import jax
-    f_mono = pallas_strict._jitted(*[kw[k] for k in
-                                     ("W", "R", "T_thresh", "rows", "cols",
-                                      "gh", "gw", "invert", "use_pred",
-                                      "interpret")], split=False)
-    f_split = pallas_strict._jitted(*[kw[k] for k in
-                                      ("W", "R", "T_thresh", "rows", "cols",
-                                       "gh", "gw", "invert", "use_pred",
-                                       "interpret")], split=True)
-    o1, r1 = jax.device_get(f_mono(grid))
-    o2, r2 = jax.device_get(f_split(grid))
-    np.testing.assert_array_equal(o1, o2)
-    np.testing.assert_array_equal(r1, r2)
+    argv = [kw[k] for k in ("W", "R", "T_thresh", "rows", "cols",
+                            "gh", "gw", "invert", "use_pred", "interpret")]
+    o1, r1 = jax.device_get(pallas_strict._jitted(*argv, split=0)(grid))
+    for sp in (1, 2):   # 1 = fori tail, 2 = unrolled static-chunk tail
+        o2, r2 = jax.device_get(pallas_strict._jitted(*argv,
+                                                      split=sp)(grid))
+        np.testing.assert_array_equal(o1, o2, err_msg=f"split={sp}")
+        np.testing.assert_array_equal(r1, r2, err_msg=f"split={sp}")
