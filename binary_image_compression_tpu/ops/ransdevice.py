@@ -140,7 +140,8 @@ def rans_encode_scan(f, b):
         need = (x >> 20) >= fs          # x >= f << 20, shift-safe at f=4096
         w = jnp.where(need, x & 0xFFFF, 0).astype(jnp.uint32)
         x = jnp.where(need, x >> 16, x)
-        x = ((x // fs) << PROB_BITS) + (x % fs) + bs
+        q = x // fs                     # one div; remainder via mul-sub
+        x = (q << PROB_BITS) + (x - q * fs) + bs
         return x, (w, need)
 
     states, (words, flags) = lax.scan(step, x0, (f, b), reverse=True)
