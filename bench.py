@@ -281,15 +281,20 @@ def main():
                 return lax.fori_loop(0, n, body, jnp.int32(0))
             return many
 
-        m1, m21 = make_many(1), make_many(21)
+        # 1-vs-41 chains, min-of-3 both sides: the tunnel RTT has been
+        # observed at 27-81 ms with +-40% jitter; a 20-run differential of
+        # a ~1 ms kernel is below that noise floor on bad days (BENCH_r04
+        # and the first r5 run both produced negative values from single
+        # samples)
+        m1, m41 = make_many(1), make_many(41)
         jax.device_get(m1(g0))
-        jax.device_get(m21(g0))
+        jax.device_get(m41(g0))
         signal.alarm(0)
-        t0 = time.time(); jax.device_get(m1(g0)); t1 = time.time() - t0
-        t0 = time.time(); jax.device_get(m21(g0)); t21 = time.time() - t0
-        dt_page = (t21 - t1) / 20
+        t1s = [_timed(lambda: jax.device_get(m1(g0))) for _ in range(3)]
+        t41s = [_timed(lambda: jax.device_get(m41(g0))) for _ in range(3)]
+        dt_page = (min(t41s) - min(t1s)) / 40
         result["codec8_device_true_ms_per_page"] = round(dt_page * 1e3, 2)
-        result["tunnel_rtt_ms"] = round(t1 * 1e3, 1)
+        result["tunnel_rtt_ms"] = round(min(t1s) * 1e3, 1)
         # roofline accounting (VERDICT r2 item 3): analytic lane-op/byte
         # counts for the fused search vs v5e peaks.  dt_page also includes
         # the XLA prologue (field plane, band gather) and the finish stage
@@ -298,11 +303,15 @@ def main():
         from binary_image_compression_tpu.utils import roofline
         model = roofline.fused_search_model(W=16, R=128, rows=rows,
                                             cols=cols)
-        util = roofline.utilization(model, dt_page)
-        result["fused_search_vpu_util_pct"] = util["vpu_util_pct"]
-        result["fused_search_lane_tops"] = util["vpu_lane_ops_per_s"]
-        result["fused_search_hbm_gbps"] = util["hbm_gbps"]
-        result["fused_search_bound"] = util["bound"]
+        if dt_page > 0:
+            util = roofline.utilization(model, dt_page)
+            result["fused_search_vpu_util_pct"] = util["vpu_util_pct"]
+            result["fused_search_lane_tops"] = util["vpu_lane_ops_per_s"]
+            result["fused_search_hbm_gbps"] = util["hbm_gbps"]
+            result["fused_search_bound"] = util["bound"]
+        else:
+            result["fused_search_vpu_util_pct"] = \
+                "skipped: differential below tunnel noise floor"
         result["roofline_note"] = (
             "analytic: T*(3*W^2/32 + 20)*(R+1)*We lane-ops (packed-priority "
             "selection; ranks are closed-form scalars) vs v5e VPU 8x128x4 "
@@ -335,20 +344,23 @@ def main():
                 return lax.fori_loop(0, n, body, jnp.uint32(0))
             return many
 
-        c1f, c21f = make_ctx(1), make_ctx(21)
+        # 1-vs-201 chains, min-of-3 (VERDICT r4 item 2): the stage is
+        # ~0.09 ms, so a 20-run differential is far below the tunnel's RTT
+        # jitter (the r4 artifact was negative; the first r5 attempt with
+        # 21 chains clamped to 0).  200 runs put ~18 ms of signal against
+        # the noise; publish the spread so the resolution is visible.
+        c1f, c201f = make_ctx(1), make_ctx(201)
         jax.device_get(c1f(g8))
-        jax.device_get(c21f(g8))
+        jax.device_get(c201f(g8))
         signal.alarm(0)
-        # min-of-3 on BOTH chain lengths (VERDICT r4 item 2: a single
-        # sample of a ~0.09 ms stage under +-40% tunnel RTT jitter produced
-        # a negative differential in BENCH_r04); publish the spread too
         tc1s = [_timed(lambda: jax.device_get(c1f(g8))) for _ in range(3)]
-        tc21s = [_timed(lambda: jax.device_get(c21f(g8))) for _ in range(3)]
-        dt_ctx = (min(tc21s) - min(tc1s)) / 20
+        tc201s = [_timed(lambda: jax.device_get(c201f(g8)))
+                  for _ in range(3)]
+        dt_ctx = (min(tc201s) - min(tc1s)) / 200
         result["codec13_tpu_ctx_ms_per_page"] = round(max(dt_ctx, 0) * 1e3,
                                                       3)
         result["codec13_tpu_ctx_spread_ms"] = [
-            round((a - b) / 20 * 1e3, 3) for a, b in zip(tc21s, tc1s)]
+            round((a - b) / 200 * 1e3, 3) for a, b in zip(tc201s, tc1s)]
         # full TPU-path encode wall (device ctx + host coder): through the
         # remote tunnel the 512 KB uint16 ctx fetch dominates; reported for
         # honesty, the device stage itself is the _ms_per_page number above
