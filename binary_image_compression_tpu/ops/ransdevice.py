@@ -123,29 +123,56 @@ def count_contexts(ctx_flat, bits_flat, mask=None):
     return ones, total
 
 
-def rans_encode_scan(f, b):
+def rans_encode_scan(f, b, unroll: int = 8):
     """The interleaved-rANS encode scan.
 
     f, b: uint32 [steps, S, N] per-symbol freq and cdf base in ENCODE
     layout (stripe s, step t, lane l holds pixel t*N + l of stripe s).
     Returns (states uint32 [S, N] — the decoder's INITIAL states,
     words uint32 [steps, S, N], flags bool [steps, S, N]); the stream for
-    stripe s is the emitted words in ascending (step, lane) order."""
+    stripe s is the emitted words in ascending (step, lane) order.
+
+    unroll: symbols per lax.scan step (the scan's serial chain is the cost
+    driver — [S, N] per-step vectors are tiny, so per-step overhead
+    dominates; unrolling amortizes it U-fold at identical output).  steps
+    must divide by unroll (callers pad with the f=4096 no-op symbol)."""
     f = jnp.asarray(f, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
+    steps = f.shape[0]
+    U = unroll if steps % unroll == 0 else 1
     x0 = jnp.full(f.shape[1:], 1 << 16, jnp.uint32)
 
-    def step(x, fb):
-        fs, bs = fb
+    def one(x, fs, bs):
         need = (x >> 20) >= fs          # x >= f << 20, shift-safe at f=4096
         w = jnp.where(need, x & 0xFFFF, 0).astype(jnp.uint32)
         x = jnp.where(need, x >> 16, x)
         q = x // fs                     # one div; remainder via mul-sub
         x = (q << PROB_BITS) + (x - q * fs) + bs
-        return x, (w, need)
+        return x, w, need
 
-    states, (words, flags) = lax.scan(step, x0, (f, b), reverse=True)
-    return states, words, flags
+    if U == 1:
+        def step(x, fb):
+            x, w, need = one(x, *fb)
+            return x, (w, need)
+
+        states, (words, flags) = lax.scan(step, x0, (f, b), reverse=True)
+        return states, words, flags
+
+    fu = f.reshape(steps // U, U, *f.shape[1:])
+    bu = b.reshape(steps // U, U, *b.shape[1:])
+
+    def stepU(x, fb):
+        fs, bs = fb
+        ws, needs = [], []
+        for u in range(U - 1, -1, -1):  # reverse order within the block
+            x, w, need = one(x, fs[u], bs[u])
+            ws.append(w)
+            needs.append(need)
+        return x, (jnp.stack(ws[::-1]), jnp.stack(needs[::-1]))
+
+    states, (words, flags) = lax.scan(stepU, x0, (fu, bu), reverse=True)
+    return (states, words.reshape(steps, *f.shape[1:]),
+            flags.reshape(steps, *f.shape[1:]))
 
 
 def pack_stream_words(words, flags, total_words: int):
@@ -189,7 +216,7 @@ def rans_page_encode(img_u8, ctx_u16, *, n_stripes: int, stripe_rows: int,
     S = n_stripes
     pad_rows = S * stripe_rows - rows
     L = stripe_rows * cols
-    steps = -(-L // n_lanes)
+    steps = -(-(-(-L // n_lanes)) // 8) * 8   # multiple of the scan unroll
     Lpad = steps * n_lanes
 
     def to_stripes(a, pad_val):
