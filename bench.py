@@ -425,15 +425,17 @@ def main():
                 return lax.fori_loop(0, n, body, jnp.uint32(0))
             return many
 
-        r1f, r11f = make_rans(1), make_rans(11)
+        # 1-vs-41: the encode is ~0.76 ms/page, so a 10-run differential
+        # would sit below the tunnel's RTT jitter on loaded sessions
+        r1f, r41f = make_rans(1), make_rans(41)
         jax.device_get(r1f(g8r))
-        jax.device_get(r11f(g8r))
+        jax.device_get(r41f(g8r))
         signal.alarm(0)
         tr1s = [_timed(lambda: jax.device_get(r1f(g8r))) for _ in range(3)]
-        tr11s = [_timed(lambda: jax.device_get(r11f(g8r)))
+        tr41s = [_timed(lambda: jax.device_get(r41f(g8r)))
                  for _ in range(3)]
         result["codec13_rans_device_true_ms_per_page"] = round(
-            (min(tr11s) - min(tr1s)) / 10 * 1e3, 3)
+            (min(tr41s) - min(tr1s)) / 40 * 1e3, 3)
         # wall encode (fetch-bound through the tunnel; honest label)
         t13r = min(_timed(lambda: compress.encode_scab(
             img, p13, entropy="device")) for _ in range(3))
