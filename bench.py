@@ -622,7 +622,7 @@ def main():
         g1 = g0 ^ jnp.uint32(1)
         T_th = ps.resolved_T()
         sfn = pallas_strict._jitted(16, 128, T_th, rows, cols, 512, 512,
-                                    True, True, False, split=True)
+                                    True, True, False, split=2)
         comb = jax.jit(lambda xs: sum(x.sum(dtype=jnp.int32) for x in xs))
 
         def strict_run_k(k):

@@ -74,8 +74,10 @@ def strict_analyze(img_bits, *, W: int, R: int, T_thresh: int,
         interpret = jax.devices()[0].platform != "tpu"
     import os
     # 0 = monolithic, 1 = phase split (fori tail), 2 = phase split with the
-    # serial tail statically unrolled onto per-tile 128-aligned chunks
-    split = int(os.environ.get("BIC_STRICT_SPLIT", "1") or 0)
+    # serial tail statically unrolled onto per-tile 128-aligned chunks —
+    # the default: 2.98 vs 3.92 (split=1) vs 7.28 (mono) ms/page in the
+    # same on-chip session (scripts/tpu_microbench.py strict)
+    split = int(os.environ.get("BIC_STRICT_SPLIT", "2") or 0)
     fn = _jitted(W, R, T_thresh, rows, cols, gh, gw, invert, use_pred,
                  interpret, split=split)
     outs, res_packed = fn(img)
