@@ -462,3 +462,21 @@ def test_scab_rans_corrupt_streams():
         np.testing.assert_array_equal(out, img)
     with pytest.raises(ValueError):
         codec.decode(blob[:codec.HEADER_LEN + 20])
+
+
+def test_scab_rans_custom_lane_count():
+    """The lane count is a header field: payloads written with non-default
+    n_lanes decode through both the native decoder and the twin."""
+    from binary_image_compression_tpu.models import compress
+    from binary_image_compression_tpu.models.codec import scab_defaults
+    img = load("text64.pbm")
+    p = codec.CodecParams(codec=13, W=0, T=2, R=0)
+    tmpl, ns = scab_defaults(p, img.shape[0])
+    sr = -(-img.shape[0] // ns)
+    for nl in (4, 8, 64):
+        blob = compress._encode_scab_device(img, p, tmpl, ns, sr,
+                                            n_lanes=nl)
+        assert blob[codec.HEADER_LEN + 8] == nl
+        np.testing.assert_array_equal(codec.decode(blob), img)
+        np.testing.assert_array_equal(
+            _twin_rans_decode(blob, img.shape), img)
