@@ -66,6 +66,8 @@ def cmd_compress(args):
     params = codec.CodecParams(codec=args.codec, W=args.W, T=args.T,
                                R=args.R, strict=args.mode == "strict")
     backend = "tpu" if args.backend == "tpu" else "host"
+    if getattr(args, "entropy", "host") == "device":
+        backend = "tpu-rans"     # PGM/PPM: whole-stack device entropy
     ext = os.path.splitext(args.input)[1].lower()
     if ext == ".ppm":
         rgb, maxval = pnm.read_pnm(args.input)

@@ -763,13 +763,24 @@ def encode_pgm(gray: np.ndarray, maxval: int,
     and the parallel-prefix bit packing on device (the whole payload as one
     jit, ops/egdevice + ops/bitstream.pack_varlen) — same bytes; slower in
     wall clock today (the LUT-adaptation scan dominates) but needs no native
-    lib and scales with the device mesh."""
+    lib and scales with the device mesh.
+
+    backend="tpu-rans" encodes every plane as a codec-13 mode-2 stream
+    with ONE vmapped device jit (the round-5 rANS coder,
+    compress.encode_planes_rans) — the entire entropy stage for the whole
+    stack on chip, typically the best ratio of the plane codecs on
+    doc-class planes."""
     from ..utils import bitplanes
     gray = np.asarray(gray, dtype=np.uint32)
     if gray_code:
         gray = gray ^ (gray >> 1)
     planes = bitplanes.decompose(gray, maxval)
-    if backend in ("tpu", "tpu-device-assembly") and (
+    if backend == "tpu-rans":
+        from . import compress as compress_mod
+        blobs = compress_mod.encode_planes_rans(
+            planes, params if params is not None and params.codec == 13
+            else None)
+    elif backend in ("tpu", "tpu-device-assembly") and (
             params is None or params.codec == 10):
         from . import compress as compress_mod
         blobs = compress_mod.encode_planes_device(

@@ -671,20 +671,38 @@ def _encode_scab_device(img, params, tmpl, n_stripes, stripe_rows,
       per stripe: n_lanes x u32 LE initial decoder states,
                   then the u16 big-endian rANS word stream
     """
-    import struct
     from ..ops import ransdevice
-    from ..ops.bitstream import (BitWriter, golomb_encode, words_to_bytes)
     rows, cols = img.shape
     n_lanes = n_lanes or ransdevice.N_LANES_DEFAULT
     out = scab_rans_page(jnp.asarray(img, jnp.uint8), tmpl=tmpl,
                          n_stripes=n_stripes, stripe_rows=stripe_rows,
                          n_lanes=n_lanes)
-    transmit, q_def, states, bits, tab_words, tab_bits, n_tr = \
+    fetched = dict(zip(
+        ("transmit", "q_default", "states", "bits", "tab_words",
+         "tab_bits", "n_transmit"),
         jax.device_get((out["transmit"], out["q_default"], out["states"],
                         out["bits"], out["tab_words"], out["tab_bits"],
-                        out["n_transmit"]))
+                        out["n_transmit"]))))
+    # ONE sliced fetch for all stripes (the remote link charges a round
+    # trip per buffer): trim the [S, Wmax] word bank to the longest live
+    # stream, then split on host
+    nw_max = max(1, max(-(-int(b) // 32) for b in fetched["bits"]))
+    fetched["words"] = np.asarray(jax.device_get(out["words"][:, :nw_max]))
+    body = _serialize_scab_rans(fetched, tmpl, n_stripes, stripe_rows,
+                                n_lanes)
+    hdr = _header(params, rows, cols, image_crc(img))
+    return hdr + body
+
+
+def _serialize_scab_rans(f, tmpl, n_stripes, stripe_rows,
+                         n_lanes) -> bytes:
+    """Mode-2 body serialization from fetched numpy fields (host does byte
+    concatenation only; shared by the single-page and the batched plane
+    paths)."""
+    import struct
+    from ..ops.bitstream import BitWriter, golomb_encode, words_to_bytes
     # bitmap serialization: raw 512 B vs Rice-coded id gaps, pick smaller
-    ids = np.flatnonzero(np.asarray(transmit, bool))
+    ids = np.flatnonzero(np.asarray(f["transmit"], bool))
     gaps = np.diff(np.concatenate([[-1], ids])) - 1
     best_k, best_bits = 0, None
     for k in range(13):
@@ -700,28 +718,65 @@ def _encode_scab_device(img, params, tmpl, n_stripes, stripe_rows,
         bm_bytes = bw.getvalue()
     else:
         bm_mode, rice_k = 0, 0
-        bm_bytes = np.packbits(np.asarray(transmit, bool)).tobytes()
+        bm_bytes = np.packbits(np.asarray(f["transmit"], bool)).tobytes()
     body = bytearray()
     body += struct.pack("<BBHi", tmpl, 2, n_stripes, stripe_rows)
-    body += struct.pack("<BBH", n_lanes, int(q_def), int(n_tr))
+    body += struct.pack("<BBH", n_lanes, int(f["q_default"]),
+                        int(f["n_transmit"]))
     body += struct.pack("<BBH", bm_mode, rice_k, len(bm_bytes))
     body += bm_bytes
-    body += words_to_bytes(tab_words, int(tab_bits))
-    # ONE sliced fetch for all stripes (the remote link charges a round
-    # trip per buffer): trim the [S, Wmax] word bank to the longest live
-    # stream, then split on host
-    nw_max = max(1, max(-(-int(b) // 32) for b in bits))
-    words_all = np.asarray(jax.device_get(out["words"][:, :nw_max]))
+    body += words_to_bytes(f["tab_words"], int(f["tab_bits"]))
     stream_bytes = []
     for s in range(n_stripes):
-        stream_bytes.append(np.asarray(states[s], "<u4").tobytes()
-                            + words_to_bytes(words_all[s], int(bits[s])))
+        stream_bytes.append(
+            np.asarray(f["states"][s], "<u4").tobytes()
+            + words_to_bytes(f["words"][s], int(f["bits"][s])))
     for sb in stream_bytes:
         body += struct.pack("<I", len(sb))
     for sb in stream_bytes:
         body += sb
-    hdr = _header(params, rows, cols, image_crc(img))
-    return hdr + bytes(body)
+    return bytes(body)
+
+
+def encode_planes_rans(planes: np.ndarray,
+                       params: CodecParams | None = None) -> list[bytes]:
+    """Codec-13 mode-2 streams for a whole bitplane stack: ONE vmapped jit
+    encodes every plane's payload on device (the grayscale analog of
+    encode_planes_device, riding the round-5 rANS coder); the host
+    serializes headers and stripe streams.  Used by
+    codec.encode_pgm(backend="tpu-rans")."""
+    from ..ops import ransdevice
+    from .codec import CodecParams as CP
+    from .codec import scab_defaults
+    planes = np.asarray(planes, dtype=bool)
+    P, rows, cols = planes.shape
+    params = params or CP(codec=13, W=0, T=0, R=0)
+    tmpl, n_stripes = scab_defaults(params, rows)
+    stripe_rows = -(-rows // n_stripes)
+    n_lanes = ransdevice.N_LANES_DEFAULT
+
+    @partial(jax.jit, static_argnames=())
+    def run(stack):
+        return jax.vmap(lambda g: scab_rans_page(
+            g, tmpl=tmpl, n_stripes=n_stripes, stripe_rows=stripe_rows,
+            n_lanes=n_lanes))(stack)
+
+    out = run(jnp.asarray(planes, jnp.uint8))
+    keys = ("transmit", "q_default", "states", "bits", "tab_words",
+            "tab_bits", "n_transmit")
+    stacked = dict(zip(keys, jax.device_get(tuple(out[k] for k in keys))))
+    nw_max = max(1, int(max(-(-int(b) // 32)
+                            for b in stacked["bits"].ravel())))
+    words = np.asarray(jax.device_get(out["words"][:, :, :nw_max]))
+    blobs = []
+    for i in range(P):
+        f = {k: stacked[k][i] for k in keys}
+        f["words"] = words[i]
+        body = _serialize_scab_rans(f, tmpl, n_stripes, stripe_rows,
+                                    n_lanes)
+        hdr = _header(params, rows, cols, image_crc(planes[i]))
+        blobs.append(hdr + body)
+    return blobs
 
 
 # ---------------------------------------------------------------------------

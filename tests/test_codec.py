@@ -480,3 +480,23 @@ def test_scab_rans_custom_lane_count():
         np.testing.assert_array_equal(codec.decode(blob), img)
         np.testing.assert_array_equal(
             _twin_rans_decode(blob, img.shape), img)
+
+
+def test_pgm_tpu_rans_backend():
+    """encode_pgm(backend="tpu-rans"): every plane coded as a mode-2 rANS
+    stream by one vmapped device jit; decodes through the standard path."""
+    rng = np.random.RandomState(4)
+    img = rng.rand(128, 96) < 0.3
+    gray = (np.cumsum(img, axis=1) * 5 % 256).astype(np.uint32)
+    blob = codec.encode_pgm(gray, 255, backend="tpu-rans")
+    g2, mv = codec.decode_pgm(blob)
+    assert mv == 255
+    np.testing.assert_array_equal(g2, gray)
+    # per-plane streams really are mode 2
+    import struct as st
+    nplanes, gflag, maxval = st.unpack("<BBH", blob[4:8])
+    lens = st.unpack(f"<{nplanes}I", blob[8:8 + 4 * nplanes])
+    off = 8 + 4 * nplanes
+    for ln in lens:
+        assert blob[off + codec.HEADER_LEN + 1] == 2
+        off += ln
