@@ -585,6 +585,18 @@ def main():
             dt_asm * 1e3, 2)
         result["pgm8_device_assembly_device_true_mps"] = round(
             8 * mp / dt_asm, 2)
+        # round 5: the whole plane stack through the device rANS coder
+        # (one vmapped jit; per-plane codec-13 mode-2 streams)
+        signal.alarm(int(os.environ.get("BIC_BENCH_COMPILE_BUDGET",
+                                        "420")))
+        gbr = codec.encode_pgm(gray, 255, backend="tpu-rans")
+        signal.alarm(0)
+        g3, _ = codec.decode_pgm(gbr)
+        assert (g3 == gray).all()
+        t_r = min(_timed(lambda: codec.encode_pgm(
+            gray, 255, backend="tpu-rans")) for _ in range(3))
+        result["pgm8_rans_wall_mps"] = round(8 * mp / t_r, 3)
+        result["pgm8_rans_bytes"] = len(gbr)
     except _CompileTimeout:
         result.setdefault("pgm8_tpu_mps", "skipped: compile stall")
         result["pgm8_device_assembly_mps"] = "skipped: compile stall"
