@@ -738,6 +738,16 @@ def _serialize_scab_rans(f, tmpl, n_stripes, stripe_rows,
     return bytes(body)
 
 
+@partial(jax.jit, static_argnames=("tmpl", "n_stripes", "stripe_rows",
+                                   "n_lanes"))
+def _scab_rans_stack(stack, *, tmpl, n_stripes, stripe_rows, n_lanes):
+    # module-level jit: a closure-local jit would retrace (and pay a
+    # remote compile-cache round trip) on EVERY call
+    return jax.vmap(lambda g: scab_rans_page(
+        g, tmpl=tmpl, n_stripes=n_stripes, stripe_rows=stripe_rows,
+        n_lanes=n_lanes))(stack)
+
+
 def encode_planes_rans(planes: np.ndarray,
                        params: CodecParams | None = None) -> list[bytes]:
     """Codec-13 mode-2 streams for a whole bitplane stack: ONE vmapped jit
@@ -754,14 +764,9 @@ def encode_planes_rans(planes: np.ndarray,
     tmpl, n_stripes = scab_defaults(params, rows)
     stripe_rows = -(-rows // n_stripes)
     n_lanes = ransdevice.N_LANES_DEFAULT
-
-    @partial(jax.jit, static_argnames=())
-    def run(stack):
-        return jax.vmap(lambda g: scab_rans_page(
-            g, tmpl=tmpl, n_stripes=n_stripes, stripe_rows=stripe_rows,
-            n_lanes=n_lanes))(stack)
-
-    out = run(jnp.asarray(planes, jnp.uint8))
+    out = _scab_rans_stack(jnp.asarray(planes, jnp.uint8), tmpl=tmpl,
+                           n_stripes=n_stripes, stripe_rows=stripe_rows,
+                           n_lanes=n_lanes)
     keys = ("transmit", "q_default", "states", "bits", "tab_words",
             "tab_bits", "n_transmit")
     stacked = dict(zip(keys, jax.device_get(tuple(out[k] for k in keys))))
